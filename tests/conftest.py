@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
+(shard_map over a Mesh, ppermute halo exchange) execute without TPU hardware.
+Must run before jax initializes its backends.
+"""
+
+import os
+
+# force CPU even when the environment preselects a TPU platform (e.g.
+# JAX_PLATFORMS=axon): unit tests must not compile through the TPU tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def lenna():
+    """512×512 BGR u8 sample image (reference: sample_image/lenna.png)."""
+    cv2 = pytest.importorskip("cv2")
+    path = "/root/reference/sample_image/lenna.png"
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        pytest.skip("lenna.png not available")
+    return np.asarray(img)

@@ -1,0 +1,58 @@
+"""Bilateral-family parity: XLA ops vs golden references on seed-42 random
+images (the reference's 50×50 unit-test workload, test/bilateral_filter.cu)."""
+
+import numpy as np
+import pytest
+
+from various_image_processings_tpu import golden
+from various_image_processings_tpu.core.rng import random_image, MT19937
+from various_image_processings_tpu.ops.bilateral import bilateral_filter, joint_bilateral_filter
+from various_image_processings_tpu.ops.adaptive_bilateral import adaptive_bilateral_filter
+
+
+def max_diff(a, b):
+    return int(np.abs(np.asarray(a).astype(np.int32) - np.asarray(b).astype(np.int32)).max())
+
+
+@pytest.mark.parametrize("ksize", [3, 9, 15])
+def test_bilateral_xla_vs_golden(ksize):
+    src = random_image(50, 50)
+    expected = golden.bilateral_filter(src, ksize, 10.0, 30.0)
+    actual = bilateral_filter(src, ksize, 10.0, 30.0, impl="xla")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_joint_bilateral_xla_vs_golden():
+    src = random_image(50, 50)
+    # independent guide drawn further along the same stream
+    rng = MT19937(42)
+    raw = rng.raw(2 * 50 * 50 * 3)
+    guide = (raw[50 * 50 * 3:] % np.uint32(255)).astype(np.uint8).reshape(50, 50, 3)
+    expected = golden.joint_bilateral_filter(src, guide, 9, 10.0, 30.0)
+    actual = joint_bilateral_filter(src, guide, 9, 10.0, 30.0, impl="xla")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_adaptive_bilateral_xla_vs_golden():
+    src = random_image(50, 50)
+    expected = golden.adaptive_bilateral_filter(src, 9, 10.0, 30.0)
+    actual = adaptive_bilateral_filter(src, 9, 10.0, 30.0, impl="xla")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_adaptive_bilateral_small_ksize_boundary_flips_rare():
+    # At k=3 the offset can be extreme and the f32-vs-exact LUT index
+    # boundary flips (see ops/adaptive_bilateral.py) can move individual
+    # degenerate pixels; they must stay rare.
+    src = random_image(50, 50)
+    expected = golden.adaptive_bilateral_filter(src, 3, 10.0, 30.0)
+    actual = np.asarray(adaptive_bilateral_filter(src, 3, 10.0, 30.0, impl="xla"))
+    diff = np.abs(actual.astype(np.int32) - expected.astype(np.int32))
+    assert (diff > 1).mean() < 1e-3
+
+
+def test_bilateral_nonsquare_image():
+    src = random_image(37, 61)
+    expected = golden.bilateral_filter(src, 9, 10.0, 30.0)
+    actual = bilateral_filter(src, 9, 10.0, 30.0, impl="xla")
+    assert max_diff(actual, expected) <= 1

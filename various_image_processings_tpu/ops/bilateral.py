@@ -1,0 +1,102 @@
+"""Bilateral and joint bilateral filters.
+
+TPU-native counterpart of ``bilateral_filter`` / ``joint_bilateral_filter``
+(reference: include/cpp/bilateral_filter.hpp:41-207) and the CUDA kernels
+(reference: src/bilateral_filter_impl.cu:7-96, :98-202).
+
+Semantics preserved for ±1/255 parity:
+- spatial Gaussian zeroed outside the inscribed circle (taps with zero weight
+  are skipped entirely — identical sums);
+- range weight from the L1 u8 color distance of the guide;
+- f32 accumulation in (ky, kx) tap order;
+- output ``u8(sum/sumk + 0.5f)`` truncation.
+
+The XLA path unrolls the (non-zero) taps of the stencil into one fused
+program over the replicate-padded image; the Pallas path tiles row strips
+through VMEM (ops/pallas/bilateral.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.luts import space_kernel, gauss_coeff_f32
+from ..core.pad import replicate_pad
+from . import _validate
+from ._dispatch import resolve_impl
+
+
+def nonzero_taps(ksize: int, sigma_space: float):
+    """[(dy, dx, weight_f32)] for taps inside the inscribed circle, in the
+    reference's (ky, kx) scan order."""
+    space = space_kernel(ksize, sigma_space)
+    taps = []
+    for dy in range(ksize):
+        for dx in range(ksize):
+            w = space[dy, dx]
+            if w != 0.0:
+                taps.append((dy, dx, np.float32(w)))
+    return taps
+
+
+def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
+                    sigma_space: float, sigma_color: float) -> jax.Array:
+    """src_f/guide_f: (H, W, 3) f32 holding u8 values → (H, W, 3) u8."""
+    h, w, _ = src_f.shape
+    radius = ksize // 2
+    coeff = gauss_coeff_f32(sigma_color)
+
+    src_p = replicate_pad(src_f, radius, radius, radius, radius)
+    guide_p = replicate_pad(guide_f, radius, radius, radius, radius)
+    guide_c = guide_f
+
+    sums = jnp.zeros((h, w, 3), jnp.float32)
+    sumk = jnp.zeros((h, w), jnp.float32)
+    for dy, dx, ws in nonzero_taps(ksize, sigma_space):
+        sp = src_p[dy : dy + h, dx : dx + w]
+        gp = guide_p[dy : dy + h, dx : dx + w]
+        dist = jnp.sum(jnp.abs(gp - guide_c), axis=2)  # exact small ints in f32
+        wk = ws * jnp.exp(dist * dist * coeff)
+        sums = sums + sp * wk[:, :, None]
+        sumk = sumk + wk
+    out = sums / sumk[:, :, None] + jnp.float32(0.5)
+    return jnp.floor(out).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "sigma_space", "sigma_color", "impl"))
+def _jbf_jit(src: jax.Array, guide: jax.Array, ksize: int, sigma_space: float,
+             sigma_color: float, impl: str) -> jax.Array:
+    if impl == "pallas":
+        from .pallas.bilateral import joint_bilateral_pallas
+        return joint_bilateral_pallas(src, guide, ksize, sigma_space, sigma_color)
+    return _bilateral_math(src.astype(jnp.float32), guide.astype(jnp.float32),
+                           ksize, sigma_space, sigma_color)
+
+
+def bilateral_filter(src, ksize: int = 9, sigma_space: float = 10.0,
+                     sigma_color: float = 30.0, impl: str = "auto") -> jax.Array:
+    """(H, W, 3) u8 → (H, W, 3) u8 edge-preserving smoothing."""
+    src = jnp.asarray(src)
+    _validate.check_u8_color("src", src)
+    _validate.check_ksize(ksize)
+    return _jbf_jit(src, src, int(ksize), float(sigma_space), float(sigma_color),
+                    resolve_impl(impl))
+
+
+def joint_bilateral_filter(src, guide, ksize: int = 9, sigma_space: float = 10.0,
+                           sigma_color: float = 30.0, impl: str = "auto") -> jax.Array:
+    """(H, W, 3) u8 src smoothed with range kernel keyed off `guide`."""
+    src = jnp.asarray(src)
+    guide = jnp.asarray(guide)
+    _validate.check_u8_color("src", src)
+    _validate.check_u8_color("guide", guide)
+    if src.shape != guide.shape:
+        raise ValueError(f"src {tuple(src.shape)} and guide {tuple(guide.shape)} "
+                         "must have the same shape")
+    _validate.check_ksize(ksize)
+    return _jbf_jit(src, guide, int(ksize), float(sigma_space), float(sigma_color),
+                    resolve_impl(impl))

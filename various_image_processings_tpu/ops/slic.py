@@ -1,0 +1,16 @@
+"""SLIC superpixels — implemented in models/slic.py (vectorized k-means over
+the ICI-friendly grid); this module re-exports the functional wrapper.
+
+Counterpart of ``superpixel_slic`` (reference: include/cpp/slic.hpp:482).
+"""
+
+from __future__ import annotations
+
+
+def superpixel_slic(image, superpixel_size: int = 30, num_iteration: int = 10,
+                    color_scale: float = 20.0, impl: str = "auto"):
+    """(H, W, 3) u8 BGR → (H, W) int32 superpixel labels."""
+    from ..models.slic import SuperpixelSLIC
+    h, w = image.shape[0], image.shape[1]
+    slic = SuperpixelSLIC(h, w, superpixel_size, num_iteration, color_scale)
+    return slic.apply(image)
