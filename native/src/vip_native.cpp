@@ -1,0 +1,127 @@
+// Native host-side runtime for various_image_processings_tpu.
+//
+// The TPU compute path is JAX/Pallas; these are the inherently sequential
+// host algorithms that sit around it (the parts the reference also runs on
+// the host CPU):
+//   - 4-connected component labeling in raster first-encounter order
+//     (SLIC enforce_connectivity, reference include/cpp/slic.hpp:316-399,
+//     reformulated as union-find instead of recursive flood fill)
+//   - Freeman chain-code contour tracing (Wexler inpainting,
+//     reference include/cpp/wexler_inpainting.hpp:94-145)
+//
+// Exposed as a plain C ABI for ctypes; built by native/Makefile.
+
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Union-find connected components, 4-connectivity, components numbered by
+// raster first-encounter order.  labels: (h*w) int32 input segmentation;
+// comp_out: (h*w) int32 output component ids.  Returns component count.
+// ---------------------------------------------------------------------------
+int vip_ccl_4conn(const int32_t* labels, int h, int w, int32_t* comp_out) {
+    const int64_t n = static_cast<int64_t>(h) * w;
+    std::vector<int32_t> parent(n);
+    for (int64_t i = 0; i < n; i++) parent[i] = static_cast<int32_t>(i);
+
+    auto find = [&](int32_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    };
+    auto unite = [&](int32_t a, int32_t b) {
+        a = find(a); b = find(b);
+        if (a == b) return;
+        if (a < b) parent[b] = a; else parent[a] = b;  // keep raster-smallest root
+    };
+
+    for (int y = 0; y < h; y++) {
+        const int64_t row = static_cast<int64_t>(y) * w;
+        for (int x = 0; x < w; x++) {
+            const int64_t i = row + x;
+            if (x + 1 < w && labels[i] == labels[i + 1]) unite((int32_t)i, (int32_t)(i + 1));
+            if (y + 1 < h && labels[i] == labels[i + w]) unite((int32_t)i, (int32_t)(i + w));
+        }
+    }
+
+    std::vector<int32_t> remap(n, -1);
+    int32_t next_id = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t root = find(static_cast<int32_t>(i));
+        if (remap[root] < 0) remap[root] = next_id++;
+        comp_out[i] = remap[root];
+    }
+    return next_id;
+}
+
+// ---------------------------------------------------------------------------
+// Freeman chain-code contour trace.  mask: (h*w) u8 (hole > 0); the trace
+// starts at (start_x, start_y) (the first masked pixel in raster order).
+// out_xy receives up to max_len (x, y) pairs.  Returns the contour length,
+// 0 for an isolated single-pixel hole, or -1 if the trace fails to close.
+// Unlike the reference this rotates past out-of-bounds neighbours instead of
+// stepping onto them.
+// ---------------------------------------------------------------------------
+int vip_trace_contour(const uint8_t* mask, int h, int w,
+                      int start_x, int start_y,
+                      int32_t* out_xy, int64_t max_len) {
+    static const int chain[8][2] = {{1, 0}, {1, -1}, {0, -1}, {-1, -1},
+                                    {-1, 0}, {-1, 1}, {0, 1}, {1, 1}};
+    static const int next_code[8] = {7, 7, 1, 1, 3, 3, 5, 5};
+    int code_index = 5;
+    int cx = start_x, cy = start_y;
+    int64_t length = 0;
+
+    while (true) {
+        if (cx == start_x && cy == start_y && length > 0) break;
+        if (length >= max_len || length > static_cast<int64_t>(h) * w) return -1;
+        out_xy[2 * length] = cx;
+        out_xy[2 * length + 1] = cy;
+
+        int x = cx + chain[code_index][0];
+        int y = cy + chain[code_index][1];
+        int search = 0;
+        while ((x < 0 || x >= w || y < 0 || y >= h || mask[(int64_t)y * w + x] == 0)
+               && search < 8) {
+            code_index = (code_index + 1) % 8;
+            x = cx + chain[code_index][0];
+            y = cy + chain[code_index][1];
+            search++;
+        }
+        if (search >= 8) {
+            // isolated pixel: 1-pixel contour
+            return length == 0 ? 1 : -1;
+        }
+        cx = x; cy = y;
+        code_index = next_code[code_index];
+        length++;
+    }
+    return static_cast<int>(length);
+}
+
+// ---------------------------------------------------------------------------
+// Per-component int64 feature sums (x, y, c0, c1, c2, count) for the SLIC
+// merge step.  comp: (h*w) int32; img: (h*w*3) u8; sums: (ncomp*6) int64.
+// ---------------------------------------------------------------------------
+void vip_component_sums(const int32_t* comp, const uint8_t* img,
+                        int h, int w, int ncomp, int64_t* sums) {
+    for (int64_t i = 0; i < static_cast<int64_t>(ncomp) * 6; i++) sums[i] = 0;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            const int64_t i = static_cast<int64_t>(y) * w + x;
+            int64_t* s = sums + static_cast<int64_t>(comp[i]) * 6;
+            s[0] += x;
+            s[1] += y;
+            s[2] += img[i * 3 + 0];
+            s[3] += img[i * 3 + 1];
+            s[4] += img[i * 3 + 2];
+            s[5] += 1;
+        }
+    }
+}
+
+}  // extern "C"

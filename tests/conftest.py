@@ -7,12 +7,19 @@ Must run before jax initializes its backends.
 
 import os
 
-# force CPU even when the environment preselects a TPU platform (e.g.
-# JAX_PLATFORMS=axon): unit tests must not compile through the TPU tunnel
+# force CPU even when the environment preselects a TPU platform.  The axon
+# sitecustomize hook re-registers its backend and overrides JAX_PLATFORMS, so
+# the env var alone is NOT enough — jax.config.update after import is.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

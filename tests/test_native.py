@@ -1,0 +1,61 @@
+"""Native C++ host runtime vs the pure-Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from various_image_processings_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+def test_ccl_matches_scipy_path():
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 4, size=(40, 37)).astype(np.int32)
+    comp_n, ncomp_n = native.ccl_4conn(labels)
+
+    # force the scipy fallback by calling the internals directly
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    h, w = labels.shape
+    idx = np.arange(h * w).reshape(h, w)
+    src, dst = [], []
+    m = labels[:, 1:] == labels[:, :-1]
+    src.append(idx[:, :-1][m]); dst.append(idx[:, 1:][m])
+    m = labels[1:, :] == labels[:-1, :]
+    src.append(idx[:-1, :][m]); dst.append(idx[1:, :][m])
+    g = coo_matrix((np.ones(sum(len(s) for s in src), np.int8),
+                    (np.concatenate(src), np.concatenate(dst))),
+                   shape=(h * w, h * w))
+    ncomp_s, comp_s = connected_components(g, directed=False)
+    comp_s = comp_s.reshape(h, w)
+    _, first, inv = np.unique(comp_s.reshape(-1), return_index=True,
+                              return_inverse=True)
+    order = np.argsort(np.argsort(first))
+    comp_s = order[inv].reshape(h, w)
+
+    assert ncomp_n == ncomp_s
+    np.testing.assert_array_equal(comp_n, comp_s)
+
+
+def test_trace_contour_square():
+    m = np.zeros((20, 20), np.uint8)
+    m[5:10, 5:10] = 255
+    contour = native.trace_contour(m, 5, 5)
+    assert len(contour) == 16
+    assert set(contour) == {(x, y) for y in range(5, 10) for x in range(5, 10)
+                            if y in (5, 9) or x in (5, 9)}
+
+
+def test_trace_contour_single_pixel():
+    m = np.zeros((10, 10), np.uint8)
+    m[4, 4] = 255
+    assert native.trace_contour(m, 4, 4) == [(4, 4)]
+
+
+def test_component_sums():
+    labels = np.array([[0, 0], [1, 1]], np.int32)
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    sums = native.component_sums(labels, img, 2)
+    np.testing.assert_array_equal(sums[0], [1, 0, 3, 5, 7, 2])
+    np.testing.assert_array_equal(sums[1], [1, 2, 15, 17, 19, 2])

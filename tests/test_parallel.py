@@ -1,0 +1,68 @@
+"""Multi-chip layer on the 8-virtual-device CPU mesh: batch sharding and
+spatial halo-exchange sharding must reproduce the single-device results
+exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from various_image_processings_tpu.core.rng import MT19937
+from various_image_processings_tpu.ops.bilateral import bilateral_filter
+from various_image_processings_tpu.parallel import (
+    make_mesh, batched_apply, bilateral_filter_batched, bilateral_filter_sharded)
+
+
+def batch_images(b, h, w):
+    raw = MT19937(42).raw(b * h * w * 3)
+    return (raw % np.uint32(255)).astype(np.uint8).reshape(b, h, w, 3)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh(batch=4, spatial=2)
+    assert mesh2.shape["batch"] == 4 and mesh2.shape["y"] == 2
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(batch=16, spatial=1)
+
+
+def test_batched_bilateral_matches_per_image():
+    imgs = batch_images(8, 40, 40)
+    mesh = make_mesh(batch=8, spatial=1)
+    out = np.asarray(bilateral_filter_batched(imgs, 9, 10.0, 30.0, mesh=mesh,
+                                              impl="xla"))
+    for i in range(8):
+        single = np.asarray(bilateral_filter(imgs[i], 9, 10.0, 30.0, impl="xla"))
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_batched_rejects_indivisible_batch():
+    imgs = batch_images(6, 16, 16)
+    mesh = make_mesh(batch=4, spatial=1)
+    with pytest.raises(ValueError, match="divisible"):
+        bilateral_filter_batched(imgs, mesh=mesh, impl="xla")
+
+
+@pytest.mark.parametrize("spatial", [2, 4, 8])
+def test_spatially_sharded_bilateral_bit_exact(spatial):
+    img = batch_images(1, 64, 48)[0]
+    mesh = make_mesh(batch=1, spatial=spatial)
+    out = np.asarray(bilateral_filter_sharded(img, 9, 10.0, 30.0, mesh=mesh,
+                                              impl="xla"))
+    single = np.asarray(bilateral_filter(img, 9, 10.0, 30.0, impl="xla"))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_mixed_mesh_batch_and_spatial():
+    # 4 batch × 2 spatial: batch fan-out of spatially-sharded images
+    imgs = batch_images(4, 32, 32)
+    mesh = make_mesh(batch=4, spatial=2)
+    outs = []
+    for i in range(4):  # spatial sharding per image on the sub-axis
+        outs.append(np.asarray(bilateral_filter_sharded(
+            imgs[i], 9, 10.0, 30.0,
+            mesh=make_mesh(batch=1, spatial=2,
+                           devices=mesh.devices[i].tolist()), impl="xla")))
+    for i in range(4):
+        single = np.asarray(bilateral_filter(imgs[i], impl="xla"))
+        np.testing.assert_array_equal(outs[i], single)

@@ -68,6 +68,16 @@ def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "sigma_space", "sigma_color", "impl"))
+def _bf_jit(src: jax.Array, ksize: int, sigma_space: float,
+            sigma_color: float, impl: str) -> jax.Array:
+    if impl == "pallas":
+        from .pallas.bilateral import bilateral_pallas
+        return bilateral_pallas(src, ksize, sigma_space, sigma_color)
+    src_f = src.astype(jnp.float32)
+    return _bilateral_math(src_f, src_f, ksize, sigma_space, sigma_color)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "sigma_space", "sigma_color", "impl"))
 def _jbf_jit(src: jax.Array, guide: jax.Array, ksize: int, sigma_space: float,
              sigma_color: float, impl: str) -> jax.Array:
     if impl == "pallas":
@@ -83,8 +93,8 @@ def bilateral_filter(src, ksize: int = 9, sigma_space: float = 10.0,
     src = jnp.asarray(src)
     _validate.check_u8_color("src", src)
     _validate.check_ksize(ksize)
-    return _jbf_jit(src, src, int(ksize), float(sigma_space), float(sigma_color),
-                    resolve_impl(impl))
+    return _bf_jit(src, int(ksize), float(sigma_space), float(sigma_color),
+                   resolve_impl(impl))
 
 
 def joint_bilateral_filter(src, guide, ksize: int = 9, sigma_space: float = 10.0,

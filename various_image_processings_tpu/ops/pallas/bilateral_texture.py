@@ -1,0 +1,169 @@
+"""Pallas TPU kernels: bilateral texture filter stages.
+
+TPU-native counterparts of ``compute_blur_and_rtv_kernel`` and
+``compute_guide_kernel`` (reference: src/bilateral_texture_filter_impl.cu:10-104,
+:106-182), composed with the gradient and joint-bilateral kernels into one
+iteration of ``CudaBilateralTextureFilter::Impl::execute`` (:199-214).
+
+Stage fusion: blur + mRTV statistics (box sums, intensity min/max, magnitude
+max/sum) are one unrolled kernel pass over a shared VMEM halo block — the
+north-star "integral-image mRTV path" fused the way the CUDA kernel fuses
+its smem tile.  The guide's window argmin keeps the reference's
+first-minimum tie-break in (ky, kx) order via a strict-less running select
+(no gathers).  Both stages use small tiles (the k² window is a full square
+here — no circular mask — and Mosaic materializes every unrolled temp; see
+pallas/bilateral.py).  The closing joint-bilateral stage has 2k−1 = 17 →
+~225 circle taps, beyond the unroll budget, so it automatically takes the
+fused-XLA formulation inside the same jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ._stencil import (plan_tiles, to_planar_padded, halo_in_spec,
+                       tile_out_spec, stencil_call)
+from .bilateral import joint_bilateral_pallas
+from .gradient import gradient_pallas
+
+EPSILON = np.float32(1e-9)
+
+
+def _make_blur_rtv_kernel(plan, ksize):
+    th, tw = plan.th, plan.tw
+    k2 = np.float32(ksize * ksize)
+
+    def kernel(img_ref, mag_ref, blurred_ref, rtv_ref):
+        b0 = jnp.zeros((th, tw), jnp.float32)
+        b1 = jnp.zeros((th, tw), jnp.float32)
+        b2 = jnp.zeros((th, tw), jnp.float32)
+        imx = jnp.full((th, tw), 0.0, jnp.float32)
+        imn = jnp.full((th, tw), 256.0, jnp.float32)
+        mmx = jnp.zeros((th, tw), jnp.float32)
+        msm = jnp.zeros((th, tw), jnp.float32)
+        three = np.float32(3.0)
+        for dy in range(ksize):
+            for dx in range(ksize):
+                p0 = img_ref[0, dy : dy + th, dx : dx + tw]
+                p1 = img_ref[1, dy : dy + th, dx : dx + tw]
+                p2 = img_ref[2, dy : dy + th, dx : dx + tw]
+                mw = mag_ref[0, dy : dy + th, dx : dx + tw]
+                b0 = b0 + p0
+                b1 = b1 + p1
+                b2 = b2 + p2
+                iw = (p0 + p1 + p2) / three
+                imx = jnp.maximum(imx, iw)
+                imn = jnp.minimum(imn, iw)
+                mmx = jnp.maximum(mmx, mw)
+                msm = msm + mw
+        blurred_ref[0] = b0 / k2
+        blurred_ref[1] = b1 / k2
+        blurred_ref[2] = b2 / k2
+        rtv_ref[0] = (imx - imn) * mmx / (msm + EPSILON)
+
+    return kernel
+
+
+def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int):
+    """(H,W,3) f32 u8-valued image + (H,W) f32 magnitude →
+    ((H,W,3) f32 blurred, (H,W) f32 rtv)."""
+    h, w, _ = img_f32.shape
+    radius = ksize // 2
+    # full-square k² taps with ~12 live temps each → small tiles
+    plan = plan_tiles(h, w, radius, th=8, tw=256)
+    img_p = to_planar_padded(img_f32, plan)
+    mag_p = to_planar_padded(magnitude, plan)
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.float32),
+        jax.ShapeDtypeStruct((1, plan.out_rows, plan.out_cols), jnp.float32),
+    )
+    n_taps = ksize * ksize
+    cost = pl.CostEstimate(
+        flops=n_taps * 10 * plan.out_rows * plan.out_cols,
+        bytes_accessed=4 * plan.padded_rows * plan.padded_cols * 4,
+        transcendentals=0,
+    )
+    blurred, rtv = stencil_call(
+        _make_blur_rtv_kernel(plan, ksize), plan,
+        [halo_in_spec(plan, 3), halo_in_spec(plan, 1)],
+        (tile_out_spec(plan, 3), tile_out_spec(plan, 1)),
+        out_shapes, cost)(img_p, mag_p)
+    return (blurred[:, :h, :w].transpose(1, 2, 0), rtv[0, :h, :w])
+
+
+def _make_guide_kernel(plan, ksize):
+    th, tw, r = plan.th, plan.tw, plan.radius
+    sigma_alpha = np.float32(1.0) / np.float32(5 * ksize)
+
+    def kernel(blur_ref, rtv_ref, guide_ref):
+        rtv_center = rtv_ref[0, r : r + th, r : r + tw]
+        bc0 = blur_ref[0, r : r + th, r : r + tw]
+        bc1 = blur_ref[1, r : r + th, r : r + tw]
+        bc2 = blur_ref[2, r : r + th, r : r + tw]
+
+        bm = jnp.full((th, tw), jnp.finfo(jnp.float32).max, jnp.float32)
+        g0 = jnp.zeros((th, tw), jnp.float32)
+        g1 = jnp.zeros((th, tw), jnp.float32)
+        g2 = jnp.zeros((th, tw), jnp.float32)
+        for dy in range(ksize):
+            for dx in range(ksize):
+                rv = rtv_ref[0, dy : dy + th, dx : dx + tw]
+                m = rv < bm  # strict: keeps the FIRST minimum in scan order
+                bm = jnp.where(m, rv, bm)
+                g0 = jnp.where(m, blur_ref[0, dy : dy + th, dx : dx + tw], g0)
+                g1 = jnp.where(m, blur_ref[1, dy : dy + th, dx : dx + tw], g1)
+                g2 = jnp.where(m, blur_ref[2, dy : dy + th, dx : dx + tw], g2)
+
+        alpha = (jnp.float32(2.0)
+                 / (jnp.float32(1.0) + jnp.exp(sigma_alpha * (rtv_center - bm)))
+                 - jnp.float32(1.0))
+        one_m = jnp.float32(1.0) - alpha
+        half = jnp.float32(0.5)
+
+        def blend(bmin, bctr):
+            v = alpha * bmin + one_m * bctr + half
+            # static_cast<int> truncation-toward-zero, then clamp 0..255;
+            # stored as f32 (u8 tiles need th%32, f32 tiles only th%8)
+            return jnp.clip(v.astype(jnp.int32), 0, 255).astype(jnp.float32)
+
+        guide_ref[0] = blend(g0, bc0)
+        guide_ref[1] = blend(g1, bc1)
+        guide_ref[2] = blend(g2, bc2)
+
+    return kernel
+
+
+def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
+    """((H,W,3) f32, (H,W) f32) → (H,W,3) u8 guide."""
+    h, w, _ = blurred.shape
+    radius = ksize // 2
+    plan = plan_tiles(h, w, radius, th=8, tw=256)
+    blur_p = to_planar_padded(blurred, plan)
+    rtv_p = to_planar_padded(rtv, plan)
+    out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.float32)
+    n_taps = ksize * ksize
+    cost = pl.CostEstimate(
+        flops=n_taps * 8 * plan.out_rows * plan.out_cols,
+        bytes_accessed=4 * plan.padded_rows * plan.padded_cols * 4,
+        transcendentals=plan.out_rows * plan.out_cols,
+    )
+    out = stencil_call(_make_guide_kernel(plan, ksize), plan,
+                       [halo_in_spec(plan, 3), halo_in_spec(plan, 1)],
+                       tile_out_spec(plan, 3), out_shape, cost)(blur_p, rtv_p)
+    return out[:, :h, :w].transpose(1, 2, 0).astype(jnp.uint8)
+
+
+def btf_iteration_pallas(img_u8: jax.Array, ksize: int) -> jax.Array:
+    """One BTF iteration (gradient → blur+mRTV → guide → JBF), the hot
+    stages as Pallas kernels. Counterpart of the loop body at
+    src/bilateral_texture_filter_impl.cu:205-211."""
+    img_f = img_u8.astype(jnp.float32)
+    magnitude = gradient_pallas(img_f)
+    blurred, rtv = blur_and_rtv_pallas(img_f, magnitude, ksize)
+    guide = guide_pallas(blurred, rtv, ksize)
+    sigma_color = float(np.sqrt(np.float32(3.0), dtype=np.float32))
+    return joint_bilateral_pallas(img_u8, guide, 2 * ksize - 1,
+                                  float(ksize - 1), sigma_color)

@@ -2,3 +2,13 @@
 halo exchange. The reference is a single-GPU library; this layer is the
 TPU-native scaling story (SURVEY.md §2: shard_map batch fan-out, ppermute
 halos for images larger than one chip's VMEM/HBM budget)."""
+
+from .mesh import make_mesh as make_mesh
+from .mesh import BATCH_AXIS as BATCH_AXIS
+from .mesh import SPATIAL_AXIS as SPATIAL_AXIS
+from .batch import batched_apply as batched_apply
+from .batch import bilateral_filter_batched as bilateral_filter_batched
+from .batch import bilateral_texture_filter_batched as bilateral_texture_filter_batched
+from .spatial import halo_exchange_rows as halo_exchange_rows
+from .spatial import stencil_apply_sharded as stencil_apply_sharded
+from .spatial import bilateral_filter_sharded as bilateral_filter_sharded

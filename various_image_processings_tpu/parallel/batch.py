@@ -1,0 +1,69 @@
+"""Batch fan-out over the ICI mesh.
+
+The TPU-native replacement for the reference's "one image per process"
+model: a batch of images is sharded over the mesh's batch axis via
+shard_map, each chip runs the single-image op locally, results gather back.
+This is the path behind the batched 64×4K throughput config
+(BASELINE.md config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import BATCH_AXIS
+
+
+def batched_apply(fn, images, mesh: Mesh):
+    """Apply a single-image op to a sharded batch.
+
+    fn: (H, W, ...) → out (static shapes); images: (B, H, W, ...) with B
+    divisible by the mesh's batch-axis size.  Images stay sharded on device;
+    the per-chip batch runs through lax.map (sequential per chip — the ops
+    saturate a chip on their own)."""
+    b = images.shape[0]
+    nbatch = mesh.shape[BATCH_AXIS]
+    if b % nbatch != 0:
+        raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
+    spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
+
+    # out specs mirror the input batch axis; infer out structure by tracing
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_vma=False)
+    def run(local):
+        return jax.lax.map(fn, local)
+
+    return run(images)
+
+
+def bilateral_filter_batched(images, ksize: int = 9, sigma_space: float = 10.0,
+                             sigma_color: float = 30.0, mesh: Mesh | None = None,
+                             impl: str = "auto"):
+    """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
+    from ..ops.bilateral import _bf_jit
+    from ..ops._dispatch import resolve_impl
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh()
+    impl = resolve_impl(impl)
+    fn = lambda img: _bf_jit(img, int(ksize), float(sigma_space),
+                             float(sigma_color), impl)
+    return batched_apply(fn, images, mesh)
+
+
+def bilateral_texture_filter_batched(images, ksize: int = 9, nitr: int = 3,
+                                     mesh: Mesh | None = None,
+                                     impl: str = "auto"):
+    """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
+    from ..ops.bilateral_texture import _btf_jit
+    from ..ops._dispatch import resolve_impl
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh()
+    impl = resolve_impl(impl)
+    fn = lambda img: _btf_jit(img, int(ksize), int(nitr), impl)
+    return batched_apply(fn, images, mesh)

@@ -1,0 +1,100 @@
+"""ctypes loader for the native host runtime (native/libvip_native.so).
+
+Builds on demand with make if the shared object is missing; every entry
+point has a pure-Python fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "build", "libvip_native.so"))
+
+
+@functools.cache
+def _lib():
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.vip_ccl_4conn.restype = ctypes.c_int
+    lib.vip_ccl_4conn.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.vip_trace_contour.restype = ctypes.c_int
+    lib.vip_trace_contour.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64]
+    lib.vip_component_sums.restype = None
+    lib.vip_component_sums.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64)]
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def ccl_4conn(labels: np.ndarray):
+    """(H, W) int32 → ((H, W) int32 components in raster first-encounter
+    order, ncomp); None if the native lib is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    h, w = labels.shape
+    comp = np.empty_like(labels)
+    ncomp = lib.vip_ccl_4conn(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return comp, int(ncomp)
+
+
+def trace_contour(mask: np.ndarray, start_x: int, start_y: int):
+    """(H, W) u8 mask → list[(x, y)] contour, or None if unavailable.
+    Raises RuntimeError on a non-closing trace (like the Python twin)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, np.uint8)
+    h, w = mask.shape
+    max_len = h * w + 1
+    out = np.empty(2 * max_len, np.int32)
+    n = lib.vip_trace_contour(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        int(start_x), int(start_y),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_len)
+    if n < 0:
+        raise RuntimeError("contour did not converge")
+    return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]
+
+
+def component_sums(comp: np.ndarray, img: np.ndarray, ncomp: int):
+    """Per-component (x, y, c0, c1, c2, count) int64 sums, or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    comp = np.ascontiguousarray(comp, np.int32)
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = comp.shape
+    sums = np.empty((ncomp, 6), np.int64)
+    lib.vip_component_sums(
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
+        sums.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return sums
