@@ -24,13 +24,24 @@ def main():
     img = random_image(h, w)
     d = jax.device_put(jnp.asarray(img))
 
-    bilateral_filter(d, 9, 10.0, 30.0).block_until_ready()  # warmup/compile
-    iters = 30
+    def chain(n):
+        # data-dependent chain fenced by a scalar readback: dispatch is fully
+        # async on this runtime and block_until_ready alone does not fence,
+        # so per-kernel time is the slope between two chain lengths (the
+        # intercept is the host↔device round-trip latency)
+        out = d
+        for _ in range(n):
+            out = bilateral_filter(out, 9, 10.0, 30.0)
+        return int(jnp.sum(out.astype(jnp.int32)))
+
+    chain(2)  # warmup/compile
+    k = 31
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = bilateral_filter(d, 9, 10.0, 30.0)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    chain(1)
+    t1 = time.perf_counter()
+    chain(k)
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (k - 1)
 
     mps = h * w / dt / 1e6
     print(json.dumps({

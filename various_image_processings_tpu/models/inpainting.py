@@ -247,12 +247,19 @@ def _ring_search(image_f: jax.Array, remained: jax.Array, tx: jax.Array,
 # ---------------------------------------------------------------------------
 
 class WexlerInpainting:
+    """checkpoint_dir: if set, the per-level filled state is saved after each
+    pyramid level and ``apply`` resumes from the deepest completed level — the
+    checkpoint/resume story the reference lacks (SURVEY.md §5: its closest
+    analog is keeping per-level pyramid state in memory,
+    include/cpp/wexler_inpainting.hpp:45-49)."""
+
     def __init__(self, max_loop: int = MAX_LOOP,
                  pyramid_bottom_size: int = PYRAMID_BOTTOM_SIZE,
-                 verbose: bool = False):
+                 verbose: bool = False, checkpoint_dir: str | None = None):
         self.max_loop = max_loop
         self.pyramid_bottom_size = pyramid_bottom_size
         self.verbose = verbose
+        self.checkpoint_dir = checkpoint_dir
 
     def _log(self, *args):
         if self.verbose:
@@ -317,7 +324,23 @@ class WexlerInpainting:
         num_layers = len(srcs)
 
         do_initial = True
-        for layer in range(num_layers - 1, -1, -1):
+        start_layer = num_layers - 1
+        ckpt_path = None
+        if self.checkpoint_dir is not None:
+            import os
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            ckpt_path = os.path.join(self.checkpoint_dir, "wexler_state.npz")
+            if os.path.exists(ckpt_path):
+                state = np.load(ckpt_path)
+                if (int(state["num_layers"]) == num_layers
+                        and state["src_0"].shape == srcs[0].shape):
+                    start_layer = int(state["next_layer"])
+                    do_initial = bool(state["do_initial"])
+                    for i in range(num_layers):
+                        srcs[i] = state[f"src_{i}"]
+                    self._log(f"resuming from layer {start_layer}")
+
+        for layer in range(start_layer, -1, -1):
             self._log(f"Layer {layer}...")
             weight = calculate_weight(masks[layer] > 0)
 
@@ -346,5 +369,10 @@ class WexlerInpainting:
                                        out_shape=srcs[layer - 1].shape[:2]))
                 hole = masks[layer - 1] > 0
                 srcs[layer - 1][hole] = up[hole]
+
+            if ckpt_path is not None:
+                np.savez(ckpt_path, num_layers=num_layers,
+                         next_layer=layer - 1, do_initial=do_initial,
+                         **{f"src_{i}": srcs[i] for i in range(num_layers)})
 
         return srcs[0]

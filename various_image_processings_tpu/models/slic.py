@@ -50,6 +50,15 @@ def _color_dist_euclid(l1, a1, b1, l2, a2, b2):
     return dl * dl + da * da + db * db
 
 
+def _color_dist_fn(metric: str):
+    if metric == "euclidean":
+        return _color_dist_euclid
+    if metric == "ciede2000":
+        from ..core.ciede2000 import ciede2000_square
+        return ciede2000_square
+    raise ValueError(f"unknown SLIC metric {metric!r}")
+
+
 def _init_centers(lab_f: jax.Array, height: int, width: int, sp_size: int,
                   per_col: int, per_row: int):
     """Grid seeding + color re-sampling at the 3×3 min-Laplacian pixel.
@@ -101,9 +110,10 @@ def _init_centers(lab_f: jax.Array, height: int, width: int, sp_size: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "sp_size", "num_iteration", "color_scale"))
+    "height", "width", "sp_size", "num_iteration", "color_scale", "metric"))
 def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
-                num_iteration: int, color_scale: float):
+                num_iteration: int, color_scale: float,
+                metric: str = "euclidean"):
     """Device part: init + assign/update loop → (labels (H,W) i32,
     centers (N,5) f32, distances (H,W) f32)."""
     per_row = cdiv(width, sp_size)
@@ -111,6 +121,7 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
     n = per_row * per_col
     space_norm = jnp.float32(1.0) / jnp.float32(sp_size * sp_size)
     color_norm = jnp.float32(1.0) / jnp.float32(color_scale * color_scale)
+    color_dist = _color_dist_fn(metric)
 
     lab_f = lab_u8.astype(jnp.float32)
     cx0, cy0, col0 = _init_centers(lab_f, height, width, sp_size, per_col, per_row)
@@ -152,7 +163,7 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
                 # reference window: |x−cx| ≤ S and |y−cy| ≤ S (:243-246)
                 covered = (jnp.abs(xs - cxp) <= sp_size) & (jnp.abs(ys - cyp) <= sp_size)
                 d = (space_norm * ((xs - cxp) ** 2 + (ys - cyp) ** 2)
-                     + color_norm * _color_dist_euclid(
+                     + color_norm * color_dist(
                          plane[:, :, 2], plane[:, :, 3], plane[:, :, 4],
                          pix_l, pix_a, pix_b))
                 d = jnp.where(in_range & covered, d, big)
@@ -184,8 +195,8 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         ml = jnp.take(means[:, 2], lbl)
         ma = jnp.take(means[:, 3], lbl)
         mb = jnp.take(means[:, 4], lbl)
-        d = _color_dist_euclid(ml, ma, mb, pix_l.reshape(-1),
-                               pix_a.reshape(-1), pix_b.reshape(-1))
+        d = color_dist(ml, ma, mb, pix_l.reshape(-1),
+                       pix_a.reshape(-1), pix_b.reshape(-1))
         key = jnp.floor(d)
         min_key = jax.ops.segment_min(key, lbl, num_segments=n)
         is_min = key == jnp.take(min_key, lbl)
@@ -258,7 +269,7 @@ def _components(labels: np.ndarray):
 
 
 def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
-                         sp_size: int) -> np.ndarray:
+                         sp_size: int, metric: str = "euclidean") -> np.ndarray:
     """Reference: include/cpp/slic.hpp:386-458 — relabel 4-connected
     components, then merge components smaller than S²/20 into the
     neighbouring component with the closest mean color."""
@@ -296,11 +307,18 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
             c = mapping[c]
         return c
 
-    def color_dist(c1, c2):
-        dl = (means[c1, 0] - means[c2, 0]) * 2.55
-        da = means[c1, 1] - means[c2, 1]
-        db = means[c1, 2] - means[c2, 2]
-        return dl * dl + da * da + db * db
+    if metric == "euclidean":
+        def color_dist(c1, c2):
+            dl = (means[c1, 0] - means[c2, 0]) * 2.55
+            da = means[c1, 1] - means[c2, 1]
+            db = means[c1, 2] - means[c2, 2]
+            return dl * dl + da * da + db * db
+    else:
+        from ..core.ciede2000 import ciede2000_square
+
+        def color_dist(c1, c2):
+            return float(ciede2000_square(means[c1, 0], means[c1, 1], means[c1, 2],
+                                          means[c2, 0], means[c2, 1], means[c2, 2]))
 
     for c in range(ncomp):  # raster order of first pixels
         cur = find(c)
@@ -334,14 +352,18 @@ class SuperpixelSLIC:
     """
 
     def __init__(self, height: int, width: int, superpixel_size: int = 30,
-                 num_iteration: int = 10, color_scale: float = 20.0):
+                 num_iteration: int = 10, color_scale: float = 20.0,
+                 metric: str = "euclidean"):
         if superpixel_size < 2:
             raise ValueError("superpixel_size must be >= 2")
+        if metric not in ("euclidean", "ciede2000"):
+            raise ValueError(f"unknown SLIC metric {metric!r}")
         self.height = height
         self.width = width
         self.superpixel_size = superpixel_size
         self.num_iteration = num_iteration
         self.color_scale = color_scale
+        self.metric = metric
         self._labels = None
 
     def apply(self, image_bgr_u8) -> np.ndarray:
@@ -353,9 +375,9 @@ class SuperpixelSLIC:
         lab = bgr2lab_u8(image)
         labels, _, _ = slic_device(lab, self.height, self.width,
                                    self.superpixel_size, self.num_iteration,
-                                   float(self.color_scale))
+                                   float(self.color_scale), self.metric)
         labels = enforce_connectivity(np.asarray(labels), np.asarray(lab),
-                                      self.superpixel_size)
+                                      self.superpixel_size, self.metric)
         self._labels = labels
         return labels
 

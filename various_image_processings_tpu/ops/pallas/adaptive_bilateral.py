@@ -26,8 +26,8 @@ from ..integral_image import window_sums
 from ._stencil import (plan_tiles, to_planar_padded, from_planar,
                        halo_in_spec, tile_out_spec, stencil_call)
 
-_VALS_PER_TAP = 10.0
-_VMEM_TEMP_BUDGET = 11 * 1024 * 1024
+_VALS_PER_TAP = 8.0
+_VMEM_TEMP_BUDGET = 13 * 1024 * 1024
 MAX_UNROLL_TAPS = 120
 
 
@@ -41,37 +41,35 @@ def _pick_tile(n_taps: int):
 
 def _make_kernel(plan, taps, ksize, coeff):
     import numpy as np
-    th, tw, r = plan.th, plan.tw, plan.radius
+    th, tw = plan.th, plan.tw
     # NB: np scalars, not jnp — jnp scalars become captured device constants,
     # which pallas kernels reject
-    k2 = np.float32(ksize * ksize)
     inv_k2 = np.float32(1.0) / np.float32(ksize * ksize)
 
-    def kernel(src_ref, cs_ref, out_ref):
-        c0 = src_ref[0, r : r + th, r : r + tw]
-        c1 = src_ref[1, r : r + th, r : r + tw]
-        c2 = src_ref[2, r : r + th, r : r + tw]
-        cs0, cs1, cs2 = cs_ref[0], cs_ref[1], cs_ref[2]
+    def kernel(srck_ref, d_ref, out_ref):
+        # srck = src·k² (exact f32 ints ≤ 255·k² ≪ 2²⁴);
+        # d = 2·center·k² − box, so |p·k² − (c·k² − box) − c·k²| = |srck − d|
+        # per channel — two VPU ops per channel per tap.
+        d0, d1, d2 = d_ref[0], d_ref[1], d_ref[2]
         a0 = jnp.zeros((th, tw), jnp.float32)
         a1 = jnp.zeros((th, tw), jnp.float32)
         a2 = jnp.zeros((th, tw), jnp.float32)
         ak = jnp.zeros((th, tw), jnp.float32)
         for dy, dx, ws in taps:
-            p0 = src_ref[0, dy : dy + th, dx : dx + tw]
-            p1 = src_ref[1, dy : dy + th, dx : dx + tw]
-            p2 = src_ref[2, dy : dy + th, dx : dx + tw]
-            t = (jnp.abs((p0 - c0) * k2 - cs0)
-                 + jnp.abs((p1 - c1) * k2 - cs1)
-                 + jnp.abs((p2 - c2) * k2 - cs2))
+            p0 = srck_ref[0, dy : dy + th, dx : dx + tw]
+            p1 = srck_ref[1, dy : dy + th, dx : dx + tw]
+            p2 = srck_ref[2, dy : dy + th, dx : dx + tw]
+            t = jnp.abs(p0 - d0) + jnp.abs(p1 - d1) + jnp.abs(p2 - d2)
             # exact floor(t/k²): t is an exact integer; +0.5 keeps the
             # reciprocal-multiply rounding away from integer boundaries
-            d = jnp.floor((t + jnp.float32(0.5)) * inv_k2)
-            wk = ws * jnp.exp(d * d * coeff)
-            a0 = a0 + p0 * wk
+            dist = jnp.floor((t + jnp.float32(0.5)) * inv_k2)
+            wk = ws * jnp.exp(dist * dist * coeff)
+            a0 = a0 + p0 * wk  # accumulates src·k²·wk — folded out below
             a1 = a1 + p1 * wk
             a2 = a2 + p2 * wk
             ak = ak + wk
-        inv = jnp.float32(1.0) / ak
+        # out = Σ src·wk / Σ wk = (Σ src·k²·wk) / (k²·Σ wk)
+        inv = jnp.float32(1.0) / ak * inv_k2
         half = jnp.float32(0.5)
         out_ref[0] = jnp.floor(a0 * inv + half).astype(jnp.int32).astype(jnp.uint8)
         out_ref[1] = jnp.floor(a1 * inv + half).astype(jnp.int32).astype(jnp.uint8)
@@ -97,12 +95,12 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
 
     src_i = src_u8.astype(jnp.int32)
     box = window_sums(src_i, radius)
-    center_scaled = (src_i * k2 - box).astype(jnp.float32)  # exact ints in f32
+    d_plane = (2 * src_i * k2 - box).astype(jnp.float32)  # exact ints in f32
 
-    src_p = to_planar_padded(src_u8, plan)
-    # pad center_scaled (no halo needed — it is read at the output tile only)
+    src_p = to_planar_padded(src_u8, plan) * jnp.float32(k2)  # src·k², exact
+    # pad D (no halo needed — it is read at the output tile only)
     cs_full = jnp.zeros((3, plan.out_rows, plan.out_cols), jnp.float32)
-    cs_full = cs_full.at[:, :h, :w].set(center_scaled.transpose(2, 0, 1))
+    cs_full = cs_full.at[:, :h, :w].set(d_plane.transpose(2, 0, 1))
 
     cost = pl.CostEstimate(
         flops=len(taps) * 22 * plan.out_rows * plan.out_cols,
