@@ -1,0 +1,135 @@
+// Reference-oracle dumper for parity tests.
+//
+// Compiles the ACTUAL reference CPU implementations (read-only mount at
+// /root/reference, included via -I at build time — no reference code lives
+// in this repo) and dumps their outputs for raw binary inputs, so the
+// golden NumPy layer can be checked against the real thing bit-for-bit.
+//
+// Usage: ref_oracle <op> <in.bin> <H> <W> <out.bin> [args...]
+//   bilateral  in(H*W*3 u8) out(H*W*3 u8)   args: ksize sigma_space sigma_color
+//   joint      in(2*H*W*3 u8: src,guide) out(H*W*3 u8)  args: ksize ss sc
+//   abf        in(H*W*3 u8) out(H*W*3 u8)   args: ksize ss sc
+//   gradient   in(H*W*3 u8) out(H*W f32)
+//   gradient1  in(H*W u8)   out(H*W f32)
+//   blur_rtv   in(H*W*3 u8) out(H*W*3 f32 blurred + H*W f32 rtv)  args: ksize
+//   guide      in(H*W*3 f32 blurred + H*W f32 rtv) out(H*W*3 u8)  args: ksize
+//   slic       in(H*W*3 u8) out(H*W i32)    args: S nitr color_scale
+//   integral   in(H*W*3 u8) out((H+2r+1)*(W+2r+1)*3 i32)  args: radius
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <iostream>  // reference headers use std::cout without including it
+#include <string>
+#include <vector>
+
+#include "cpp/bilateral_filter.hpp"
+#include "cpp/adaptive_bilateral_filter.hpp"
+#include "cpp/gradient.hpp"
+#include "cpp/border_replicated_integral_image.hpp"
+#include "cpp/slic.hpp"
+namespace btf_internal {
+// bilateral_texture_filter.hpp needs ximgproc only for the full pipeline;
+// pull just the stage internals by including it with a stub if missing.
+}
+#include "cpp/bilateral_texture_filter.hpp"
+
+static std::vector<uint8_t> read_file(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) { std::perror(path); std::exit(2); }
+    std::fseek(f, 0, SEEK_END);
+    long n = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(n);
+    if (std::fread(buf.data(), 1, n, f) != static_cast<size_t>(n)) std::exit(2);
+    std::fclose(f);
+    return buf;
+}
+
+static void write_file(const char* path, const void* data, size_t n) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) { std::perror(path); std::exit(2); }
+    std::fwrite(data, 1, n, f);
+    std::fclose(f);
+}
+
+int main(int argc, char** argv) {
+    if (argc < 6) { std::fprintf(stderr, "usage: ref_oracle op in H W out [args]\n"); return 1; }
+    const std::string op = argv[1];
+    const auto in = read_file(argv[2]);
+    const int h = std::atoi(argv[3]);
+    const int w = std::atoi(argv[4]);
+    const char* out_path = argv[5];
+    cv::setNumThreads(1);  // deterministic f32 sums (test/gradient.cu:39 does the same)
+
+    if (op == "bilateral" || op == "abf") {
+        const int ksize = argc > 6 ? std::atoi(argv[6]) : 9;
+        const float ss = argc > 7 ? std::atof(argv[7]) : 10.f;
+        const float sc = argc > 8 ? std::atof(argv[8]) : 30.f;
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        cv::Mat3b dst;
+        if (op == "bilateral") bilateral_filter(src, dst, ksize, ss, sc);
+        else adaptive_bilateral_filter(src, dst, ksize, ss, sc);
+        write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "joint") {
+        const int ksize = argc > 6 ? std::atoi(argv[6]) : 9;
+        const float ss = argc > 7 ? std::atof(argv[7]) : 10.f;
+        const float sc = argc > 8 ? std::atof(argv[8]) : 30.f;
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        cv::Mat3b guide(h, w, (cv::Vec3b*)(in.data() + (size_t)h * w * 3));
+        cv::Mat3b dst;
+        joint_bilateral_filter(src, guide, dst, ksize, ss, sc);
+        write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "gradient" || op == "gradient1") {
+        const int ch = op == "gradient" ? 3 : 1;
+        cv::Mat src(h, w, CV_8UC(ch), (void*)in.data());
+        cv::Mat dst;
+        gradient(src, dst);
+        write_file(out_path, dst.data, (size_t)h * w * 4);
+    } else if (op == "blur_rtv") {
+        const int ksize = argc > 6 ? std::atoi(argv[6]) : 9;
+        cv::Mat3b image(h, w, (cv::Vec3b*)in.data());
+        cv::Mat1f magnitude;
+        gradient(image, magnitude);
+        cv::Mat3f blurred;
+        cv::Mat1f rtv;
+        internal::compute_blur_and_rtv(image, magnitude, blurred, rtv, ksize);
+        std::vector<uint8_t> out((size_t)h * w * 3 * 4 + (size_t)h * w * 4);
+        std::memcpy(out.data(), blurred.data, (size_t)h * w * 3 * 4);
+        std::memcpy(out.data() + (size_t)h * w * 3 * 4, rtv.data, (size_t)h * w * 4);
+        write_file(out_path, out.data(), out.size());
+    } else if (op == "guide") {
+        const int ksize = argc > 6 ? std::atoi(argv[6]) : 9;
+        cv::Mat3f blurred(h, w, (cv::Vec3f*)in.data());
+        cv::Mat1f rtv(h, w, (float*)(in.data() + (size_t)h * w * 3 * 4));
+        cv::Mat3b dst;
+        internal::compute_guide(blurred, rtv, dst, ksize);
+        write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "slic") {
+        const int S = argc > 6 ? std::atoi(argv[6]) : 30;
+        const int nitr = argc > 7 ? std::atoi(argv[7]) : 10;
+        const float m = argc > 8 ? std::atof(argv[8]) : 20.f;
+        cv::Mat3b image(h, w, (cv::Vec3b*)in.data());
+        cv::Mat1i label;
+        superpixel_slic(image, label, S, nitr, m);
+        write_file(out_path, label.data, (size_t)h * w * 4);
+    } else if (op == "integral") {
+        const int radius = argc > 6 ? std::atoi(argv[6]) : 4;
+        cv::Mat_<cv::Vec3b> src(h, w, (cv::Vec3b*)in.data());
+        BorderReplicatedIntegralImage<std::uint8_t, 3> integral(src, radius);
+        // dump all window sums centred at each pixel instead of the raw
+        // buffer (the buffer is private); radius-window per pixel
+        std::vector<int32_t> sums((size_t)h * w * 3);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                const auto v = integral.get(x - radius, y - radius, x + radius, y + radius);
+                for (int c = 0; c < 3; c++) sums[((size_t)y * w + x) * 3 + c] = v[c];
+            }
+        write_file(out_path, sums.data(), sums.size() * 4);
+    } else {
+        std::fprintf(stderr, "unknown op %s\n", op.c_str());
+        return 1;
+    }
+    return 0;
+}

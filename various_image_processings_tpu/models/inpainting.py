@@ -267,11 +267,14 @@ class WexlerInpainting:
 
     def _construct_pyramid(self, src: np.ndarray, mask: np.ndarray):
         """Reference :68-91: pyrDown until the next level's floor-halved
-        min dimension drops below pyramid_bottom_size."""
-        srcs, masks = [src], [mask]
+        min dimension drops below pyramid_bottom_size.  Level 0 is a copy —
+        the fill loop mutates it (the reference clones too, :69-70)."""
+        srcs, masks = [np.array(src, copy=True)], [np.array(mask, copy=True)]
         while min(srcs[-1].shape[0] // 2, srcs[-1].shape[1] // 2) >= self.pyramid_bottom_size:
-            srcs.append(np.asarray(pyr_down(srcs[-1])))
-            masks.append(np.asarray(pyr_down(masks[-1])))
+            # np.array copies: np.asarray of a jax array is a read-only view,
+            # and the fill loop mutates the levels in place
+            srcs.append(np.array(pyr_down(srcs[-1])))
+            masks.append(np.array(pyr_down(masks[-1])))
         return srcs, masks
 
     def _fill_pass(self, image: np.ndarray, mask: np.ndarray,

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 
 from ...core.luts import gauss_coeff_f32
 from ..bilateral import nonzero_taps
+from .._dispatch import pallas_interpret
 from ._stencil import (plan_tiles, to_planar_padded, from_planar,
                        halo_in_spec, tile_out_spec, stencil_call)
 
@@ -105,18 +106,142 @@ def _make_kernel(plan, taps, coeff, joint: bool):
     return compute_self
 
 
+def _make_chunked_kernel(plan, ksize, coeff, joint: bool):
+    """Large-k variant: the grid gains a third dimension over tap rows (ky).
+    Per step the halo block (which Pallas keeps VMEM-resident across the ky
+    steps — its index map ignores ky) is rolled down by ky once
+    (tpu dynamic_rotate, the only dynamic indexing Mosaic allows here), then
+    the k taps of that row use static lane offsets.  f32 accumulators live in
+    VMEM scratch, zeroed at ky==0 and finalized at ky==k−1.  Temp liveness
+    is one tap row, so even 2k−1=17 windows fit VMEM."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    th, tw, r = plan.th, plan.tw, plan.radius
+    bh = th + plan.halo_h
+
+    def compute(ws_ref, src_ref, guide_ref, out_ref, a0, a1, a2, ak):
+        ky = pl.program_id(2)
+
+        @pl.when(ky == 0)
+        def _():
+            zeros = jnp.zeros((th, tw), jnp.float32)
+            a0[...] = zeros
+            a1[...] = zeros
+            a2[...] = zeros
+            ak[...] = zeros
+
+        gc0 = guide_ref[0, r : r + th, r : r + tw]
+        gc1 = guide_ref[1, r : r + th, r : r + tw]
+        gc2 = guide_ref[2, r : r + th, r : r + tw]
+
+        shift = (jnp.int32(bh) - ky) % jnp.int32(bh)  # roll rows down by ky
+        g0 = pltpu.roll(guide_ref[0], shift, 0)
+        g1 = pltpu.roll(guide_ref[1], shift, 0)
+        g2 = pltpu.roll(guide_ref[2], shift, 0)
+        if joint:
+            s0 = pltpu.roll(src_ref[0], shift, 0)
+            s1 = pltpu.roll(src_ref[1], shift, 0)
+            s2 = pltpu.roll(src_ref[2], shift, 0)
+        else:
+            s0, s1, s2 = g0, g1, g2
+
+        c0, c1, c2, ck = a0[...], a1[...], a2[...], ak[...]
+        for dx in range(ksize):
+            ws = ws_ref[ky * ksize + dx]
+            gg0 = g0[0:th, dx : dx + tw]
+            gg1 = g1[0:th, dx : dx + tw]
+            gg2 = g2[0:th, dx : dx + tw]
+            dist = jnp.abs(gg0 - gc0) + jnp.abs(gg1 - gc1) + jnp.abs(gg2 - gc2)
+            wk = ws * jnp.exp(dist * dist * coeff)
+            if joint:
+                c0 = c0 + s0[0:th, dx : dx + tw] * wk
+                c1 = c1 + s1[0:th, dx : dx + tw] * wk
+                c2 = c2 + s2[0:th, dx : dx + tw] * wk
+            else:
+                c0 = c0 + gg0 * wk
+                c1 = c1 + gg1 * wk
+                c2 = c2 + gg2 * wk
+            ck = ck + wk
+        a0[...] = c0
+        a1[...] = c1
+        a2[...] = c2
+        ak[...] = ck
+
+        @pl.when(ky == pl.num_programs(2) - 1)
+        def _():
+            inv = jnp.float32(1.0) / ak[...]
+            half = jnp.float32(0.5)
+            out_ref[0] = jnp.floor(a0[...] * inv + half).astype(jnp.int32).astype(jnp.uint8)
+            out_ref[1] = jnp.floor(a1[...] * inv + half).astype(jnp.int32).astype(jnp.uint8)
+            out_ref[2] = jnp.floor(a2[...] * inv + half).astype(jnp.int32).astype(jnp.uint8)
+
+    if joint:
+        return compute
+
+    def compute_self(ws_ref, src_ref, out_ref, a0, a1, a2, ak):
+        return compute(ws_ref, src_ref, src_ref, out_ref, a0, a1, a2, ak)
+
+    return compute_self
+
+
+def _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
+                 joint: bool, th: int = 32, tw: int = 256):
+    from jax.experimental.pallas import tpu as pltpu
+    from ...core.luts import space_kernel
+
+    h, w, _ = src_u8.shape
+    radius = ksize // 2
+    plan = plan_tiles(h, w, radius, th=th, tw=tw)
+    ws_flat = jnp.asarray(space_kernel(ksize, sigma_space).reshape(-1))
+    coeff = gauss_coeff_f32(sigma_color)
+
+    src_p = to_planar_padded(src_u8, plan)
+    n_taps = ksize * ksize
+    cost = pl.CostEstimate(
+        flops=n_taps * 16 * plan.out_rows * plan.out_cols,
+        bytes_accessed=(2 if joint else 1) * 3 * plan.padded_rows * plan.padded_cols * 4,
+        transcendentals=n_taps * plan.out_rows * plan.out_cols,
+    )
+    kernel = _make_chunked_kernel(plan, ksize, coeff, joint)
+    out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
+
+    def in3(spec):
+        # same block for every ky step → Pallas keeps it VMEM-resident
+        base = spec
+        return pl.BlockSpec(base.block_shape,
+                            lambda i, j, t: (0, i * plan.th, j * plan.tw),
+                            memory_space=pltpu.VMEM)
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs = smem + [in3(halo_in_spec(plan))]
+    args = (ws_flat, src_p)
+    if joint:
+        guide_p = to_planar_padded(guide_u8, plan)
+        in_specs = in_specs + [in3(halo_in_spec(plan))]
+        args = (ws_flat, src_p, guide_p)
+    out = pl.pallas_call(
+        kernel,
+        grid=(plan.nh, plan.nw, ksize),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, plan.th, plan.tw), lambda i, j, t: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((plan.th, plan.tw), jnp.float32)] * 4,
+        interpret=pallas_interpret(),
+        cost_estimate=cost,
+    )(*args)
+    return from_planar(out, plan)
+
+
 def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
     h, w, _ = src_u8.shape
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
     tile = pick_tile(len(taps), joint)
     if tile is None or len(taps) > MAX_UNROLL_TAPS:
-        # large stencil: fall back to the fused-XLA formulation
-        from ..bilateral import _bilateral_math
-        g = guide_u8 if joint else src_u8
-        return _bilateral_math(src_u8.astype(jnp.float32),
-                               g.astype(jnp.float32),
-                               ksize, sigma_space, sigma_color)
+        # large stencil: tap-row-chunked kernel (3rd grid dim over ky)
+        return _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
+                            joint)
 
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)

@@ -23,19 +23,21 @@ def batched_apply(fn, images, mesh: Mesh):
 
     fn: (H, W, ...) → out (static shapes); images: (B, H, W, ...) with B
     divisible by the mesh's batch-axis size.  Images stay sharded on device;
-    the per-chip batch runs through lax.map (sequential per chip — the ops
-    saturate a chip on their own)."""
+    the per-chip batch runs as an unrolled loop (the ops saturate a chip on
+    their own, and lax.map's scan machinery adds ~20× overhead around the
+    Pallas calls on TPU)."""
+    import jax.numpy as jnp
+
     b = images.shape[0]
     nbatch = mesh.shape[BATCH_AXIS]
     if b % nbatch != 0:
         raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
     spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
 
-    # out specs mirror the input batch axis; infer out structure by tracing
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
                        out_specs=spec, check_vma=False)
     def run(local):
-        return jax.lax.map(fn, local)
+        return jnp.stack([fn(local[i]) for i in range(local.shape[0])])
 
     return run(images)
 

@@ -11,34 +11,60 @@ import contextlib
 import time
 
 import jax
+import numpy as np
+
+
+def fence(out) -> None:
+    """Hard execution fence: forces a (1-element) device→host readback of
+    every output leaf.  ``block_until_ready`` alone does not fence on fully
+    asynchronous runtimes (e.g. the axon TPU tunnel), which makes naive
+    timing loops report dispatch latency instead of kernel time."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        arr = leaf
+        while getattr(arr, "ndim", 0) > 0:
+            arr = arr[0]
+        np.asarray(arr)
 
 
 def measure(fn, iters: int = 50) -> float:
     """Mean msec per call over `iters` runs, first (compile) run discarded.
-    `fn` must return a jax array (or pytree) to fence on."""
+    `fn` must return a jax array (or pytree); each call is readback-fenced,
+    so the result includes one host↔device round-trip of latency — use
+    measure_chained for pure kernel time."""
     out = fn()
-    jax.block_until_ready(out)
+    fence(out)
     total = 0.0
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        fence(out)
         total += time.perf_counter() - t0
     return total / iters * 1e3
 
 
-def measure_throughput(fn, pixels: int, iters: int = 50):
-    """(mean msec, MP/s) with one fence around the whole loop — removes
-    per-call dispatch latency, like queueing kernels back-to-back on a CUDA
-    stream (src/bilateral_texture_filter_impl.cu:205-211)."""
-    out = fn()
-    jax.block_until_ready(out)
+def measure_chained(step, init, iters: int = 30) -> float:
+    """Pure per-kernel msec via the chain-slope method: time a data-dependent
+    chain of 1 and of `iters` applications of ``step`` (each fenced once) and
+    take the slope — the round-trip latency cancels in the difference."""
+    def chain(n):
+        out = init
+        for _ in range(n):
+            out = step(out)
+        fence(out)
+
+    chain(2)  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return dt * 1e3, pixels / dt / 1e6
+    chain(1)
+    t1 = time.perf_counter()
+    chain(iters)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (iters - 1) * 1e3
+
+
+def measure_throughput(fn, pixels: int, iters: int = 50):
+    """(mean msec, MP/s), readback-fenced per call."""
+    ms = measure(fn, iters)
+    return ms, pixels / ms / 1e3
 
 
 @contextlib.contextmanager
