@@ -16,7 +16,6 @@ tiles (src/bilateral_filter_impl.cu:47-56).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
