@@ -24,13 +24,21 @@ SAMPLES = "/root/reference/sample_image"
 
 
 def timed(fn, iters=20):
+    """Per-call seconds with readback fencing (block_until_ready does not
+    fence on fully async runtimes); includes one round-trip of latency."""
+    from various_image_processings_tpu.utils.profiling import fence
     out = fn()
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+        fence(out)
     return (time.perf_counter() - t0) / iters
+
+
+def timed_chain(step, init, iters=16):
+    from various_image_processings_tpu.utils.profiling import measure_chained
+    return measure_chained(step, init, iters) / 1e3
 
 
 def main():
@@ -44,7 +52,7 @@ def main():
     dl = jax.device_put(jnp.asarray(lenna))
     px = lenna.shape[0] * lenna.shape[1]
 
-    dt = timed(lambda: vip.bilateral_filter(dl, 9, 10.0, 30.0))
+    dt = timed_chain(lambda x: vip.bilateral_filter(x, 9, 10.0, 30.0), dl)
     oracle = cv2.bilateralFilter(lenna, 9, 30.0, 10.0, borderType=cv2.BORDER_REPLICATE)
     out = np.asarray(vip.bilateral_filter(dl, 9, 10.0, 30.0))
     report["config1_bilateral_lenna"] = {
@@ -52,8 +60,12 @@ def main():
         "max_err_vs_opencv": int(np.abs(out.astype(int) - oracle.astype(int)).max()),
     }
 
-    dt_g = timed(lambda: vip.gradient(dl))
-    dt_a = timed(lambda: vip.adaptive_bilateral_filter(dl, 9, 10.0, 30.0))
+    # chain gradient through a u8 round-trip so the slope method applies
+    # (the cast adds ~1 ms at 4K; at 512² it is noise)
+    dt_g = timed_chain(
+        lambda x: jnp.clip(vip.gradient(x)[:, :, None], 0, 255)
+        .astype(jnp.uint8).repeat(3, 2), dl)
+    dt_a = timed_chain(lambda x: vip.adaptive_bilateral_filter(x, 9, 10.0, 30.0), dl)
     report["config2_gradient_abf_lenna"] = {
         "gradient_msec": round(dt_g * 1e3, 3),
         "abf_msec": round(dt_a * 1e3, 3),
@@ -62,7 +74,7 @@ def main():
 
     cat = cv2.imread(f"{SAMPLES}/mosaic_cat.png", cv2.IMREAD_COLOR)
     dc = jax.device_put(jnp.asarray(cat))
-    dt = timed(lambda: vip.bilateral_texture_filter(dc, 9, 3), iters=10)
+    dt = timed_chain(lambda x: vip.bilateral_texture_filter(x, 9, 3), dc, iters=8)
     report["config3_btf_mosaic_cat"] = {
         "msec": round(dt * 1e3, 1),
         "mps": round(cat.shape[0] * cat.shape[1] / dt / 1e6, 1),
@@ -91,8 +103,8 @@ def main():
         np.tile(lenna, (5, 8, 1))[:2160, :3840][None], (8, 2160, 3840, 3)).copy())
     mesh = make_mesh(batch=1, spatial=1)
     d = jax.device_put(batch)
-    fn = lambda: bilateral_filter_batched(d, 9, 10.0, 30.0, mesh=mesh)
-    dt = timed(fn, iters=3)
+    dt = timed_chain(lambda b: bilateral_filter_batched(b, 9, 10.0, 30.0, mesh=mesh),
+                     d, iters=4)
     report["config5b_batched_4k_bilateral"] = {
         "batch": 8, "msec_per_batch": round(dt * 1e3, 1),
         "mps": round(8 * 2160 * 3840 / dt / 1e6, 1),

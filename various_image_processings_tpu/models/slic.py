@@ -284,19 +284,16 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
                                   minlength=ncomp).astype(np.int64)
     means //= sizes[:, None]  # int truncation (:415-421)
 
-    # component adjacency (4-connectivity)
-    pairs = set()
-    a, b = comp[:, :-1], comp[:, 1:]
-    m = a != b
-    for u, v in zip(a[m].reshape(-1), b[m].reshape(-1)):
-        pairs.add((u, v)); pairs.add((v, u))
-    a, b = comp[:-1, :], comp[1:, :]
-    m = a != b
-    for u, v in zip(a[m].reshape(-1), b[m].reshape(-1)):
-        pairs.add((u, v)); pairs.add((v, u))
-    neighbors = {}
-    for u, v in pairs:
-        neighbors.setdefault(u, set()).add(v)
+    # component adjacency (4-connectivity), vectorized edge extraction
+    ea = np.concatenate([comp[:, :-1][comp[:, :-1] != comp[:, 1:]],
+                         comp[:-1, :][comp[:-1, :] != comp[1:, :]]])
+    eb = np.concatenate([comp[:, 1:][comp[:, :-1] != comp[:, 1:]],
+                         comp[1:, :][comp[:-1, :] != comp[1:, :]]])
+    edges = np.unique(np.stack([np.concatenate([ea, eb]),
+                                np.concatenate([eb, ea])], axis=1), axis=0)
+    neighbors: dict[int, set] = {c: set() for c in range(ncomp)}
+    for u, v in edges:
+        neighbors[int(u)].add(int(v))
 
     min_area = (sp_size * sp_size) // 20
     mapping = np.arange(ncomp)
@@ -320,21 +317,22 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
             return float(ciede2000_square(means[c1, 0], means[c1, 1], means[c1, 2],
                                           means[c2, 0], means[c2, 1], means[c2, 2]))
 
+    # the neighbor sets are maintained incrementally under merges (root →
+    # set of neighbor roots), keeping the whole pass near-linear; a naive
+    # per-component region rescan is O(ncomp²) and took minutes on noisy
+    # segmentations with thousands of fragments
     for c in range(ncomp):  # raster order of first pixels
         cur = find(c)
         if sizes[cur] >= min_area:
             continue
-        # neighbours of the merged region containing cur
-        region = [k for k in range(ncomp) if find(k) == cur]
-        nbrs = set()
-        for k in region:
-            for v in neighbors.get(k, ()):  # noqa: B905
-                if find(v) != cur:
-                    nbrs.add(find(v))
+        # canonicalize (members may have merged since they were recorded)
+        nbrs = {find(v) for v in neighbors[cur]} - {cur}
         if not nbrs:
             continue  # reference prints "Failed to extract neighbors." (:435-438)
         best = min(sorted(nbrs), key=lambda v: color_dist(cur, v))
         mapping[cur] = best
+        neighbors[best] |= nbrs - {best}
+        neighbors[cur] = set()
 
     final = np.array([find(c) for c in range(ncomp)])
     # compact to consecutive ids in raster order of the merged regions
