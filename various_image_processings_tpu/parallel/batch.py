@@ -36,7 +36,9 @@ def batched_apply(fn, images, mesh: Mesh):
     if nbatch == 1:
         # single-device batch axis: skip shard_map entirely — wrapping Pallas
         # custom calls in shard_map costs ~40× on the TPU runtime measured
-        # (plain unrolled jit hits single-image throughput exactly)
+        # (plain unrolled jit hits single-image throughput exactly).
+        # NB: the jit closure is created per call — prefer the cached
+        # `*_batched` wrappers (or make_batched) for hot loops.
         @jax.jit
         def run_local(local):
             return jnp.stack([fn(local[i]) for i in range(local.shape[0])])
@@ -52,30 +54,59 @@ def batched_apply(fn, images, mesh: Mesh):
     return run(images)
 
 
-def bilateral_filter_batched(images, ksize: int = 9, sigma_space: float = 10.0,
-                             sigma_color: float = 30.0, mesh: Mesh | None = None,
-                             impl: str = "auto"):
-    """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
-    from ..ops.bilateral import _bf_jit
+@functools.lru_cache(maxsize=64)
+def _cached_single_device_runner(op: str, params: tuple, impl: str):
+    """One jit runner per (op, params, impl): re-creating the jit closure per
+    call would retrace/recompile every invocation (measured 5-40× slowdowns).
+    jax.jit itself specializes per input shape, so one runner serves all
+    batch sizes."""
+    import jax.numpy as jnp
+
+    if op == "bilateral":
+        from ..ops.bilateral import _bf_jit
+        single = lambda img: _bf_jit(img, *params, impl)
+    elif op == "btf":
+        from ..ops.bilateral_texture import _btf_jit
+        single = lambda img: _btf_jit(img, *params, impl)
+    else:
+        raise ValueError(op)
+
+    @jax.jit
+    def run(local):
+        return jnp.stack([single(local[i]) for i in range(local.shape[0])])
+
+    return run
+
+
+def _dispatch_batched(op, params, images, mesh, impl):
     from ..ops._dispatch import resolve_impl
     if mesh is None:
         from .mesh import make_mesh
         mesh = make_mesh()
     impl = resolve_impl(impl)
-    fn = lambda img: _bf_jit(img, int(ksize), float(sigma_space),
-                             float(sigma_color), impl)
-    return batched_apply(fn, images, mesh)
+    nbatch = mesh.shape[BATCH_AXIS]
+    if images.shape[0] % nbatch != 0:
+        raise ValueError(
+            f"batch {images.shape[0]} not divisible by mesh batch axis {nbatch}")
+    runner = _cached_single_device_runner(op, params, impl)
+    if nbatch == 1:
+        return runner(images)
+    spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
+    return shard_map(runner, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                     check_vma=False)(images)
+
+
+def bilateral_filter_batched(images, ksize: int = 9, sigma_space: float = 10.0,
+                             sigma_color: float = 30.0, mesh: Mesh | None = None,
+                             impl: str = "auto"):
+    """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
+    return _dispatch_batched("bilateral",
+                             (int(ksize), float(sigma_space), float(sigma_color)),
+                             images, mesh, impl)
 
 
 def bilateral_texture_filter_batched(images, ksize: int = 9, nitr: int = 3,
                                      mesh: Mesh | None = None,
                                      impl: str = "auto"):
     """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
-    from ..ops.bilateral_texture import _btf_jit
-    from ..ops._dispatch import resolve_impl
-    if mesh is None:
-        from .mesh import make_mesh
-        mesh = make_mesh()
-    impl = resolve_impl(impl)
-    fn = lambda img: _btf_jit(img, int(ksize), int(nitr), impl)
-    return batched_apply(fn, images, mesh)
+    return _dispatch_batched("btf", (int(ksize), int(nitr)), images, mesh, impl)
