@@ -81,3 +81,20 @@ def test_pallas_btf_end_to_end():
     diff = np.abs(actual.astype(np.int64) - expected.astype(np.int64))
     assert np.percentile(diff, 99.9) <= 2
     assert diff.max() <= 3
+
+
+@pytest.mark.parametrize("ksize", [17, 21])
+def test_pallas_chunked_self_bilateral(ksize):
+    # self-guided large-k path (chunked kernel, single input stream)
+    src = random_image(45, 70)
+    expected = golden.bilateral_filter(src, ksize, 10.0, 30.0)
+    actual = bilateral_filter(src, ksize, 10.0, 30.0, impl="pallas")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_pallas_chunked_joint_rectangular():
+    src = random_image(33, 90)
+    guide = random_image(33, 90)[::-1].copy()
+    expected = golden.joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508)
+    actual = joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508, impl="pallas")
+    assert max_diff(actual, expected) <= 1
