@@ -9,11 +9,18 @@ loops (sample/benchmark/main.cpp:105-201).
 """
 
 import json
+import os
 import time
+
+# persist compiles across processes (the TPU tunnel compiler is slow)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
 def main():
