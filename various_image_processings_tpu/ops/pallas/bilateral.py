@@ -16,14 +16,14 @@ TPU-native redesign of the CUDA kernels ``bilateral_filter_kernel`` /
   lane/sublane offsets — Mosaic cannot prove alignment for dynamic vector
   loads).  Mosaic materializes every unrolled temporary, so the tile size
   is scaled down with the tap count to stay inside the ~16 MB VMEM budget
-  (measured ≈4.5 live (th·tw) f32 values per tap).  Beyond
+  (live-value footprints measured by hardware sweeps, see below).  Beyond
   ``MAX_UNROLL_TAPS`` even the minimum tile overflows and the op falls back
   to the fused-XLA formulation (still sub-linear in taps thanks to XLA
   fusion).
 
-Measured on TPU v5e: 4K bilateral k=9 ≈ 840 MP/s (unrolled pallas) vs
-365 MP/s (XLA) — both ≥ the reference's parity tolerance vs
-cv::bilateralFilter (±1 u8).
+Measured on TPU v5e at 4K, k=9: bilateral 955 MP/s, joint bilateral
+827 MP/s (unrolled pallas) vs 365 MP/s (XLA) — all within the reference's
+parity tolerance vs cv::bilateralFilter (±1 u8).
 
 Accumulation is f32 in the reference's (ky, kx) tap order; the final store
 reproduces ``u8(sum/sumk + 0.5f)`` truncation.
@@ -44,10 +44,11 @@ from ._stencil import (plan_tiles, to_planar_padded, from_planar,
 # beyond this tap count even a (32, 128) tile overflows the VMEM temp budget
 MAX_UNROLL_TAPS = 120
 
-# ~4.5 live f32 tile-values per unrolled tap (measured via Mosaic's scoped
-# vmem estimates), self variant; the joint variant doubles the slice streams
-_VALS_PER_TAP_SELF = 5.0
-_VALS_PER_TAP_JOINT = 8.0
+# live f32 tile-values per unrolled tap, measured by sweeping tile sizes on
+# hardware until Mosaic's scoped-vmem OOM: ~4 for the self variant (k=9 at
+# (32,512) = 955 MP/s at 4K), ~6 for the joint variant's second stream
+_VALS_PER_TAP_SELF = 4.0
+_VALS_PER_TAP_JOINT = 6.0
 # k=9 self at (32, 384) measures 12.05 MB scoped and compiles with ~840 MP/s
 # at 4K — 13 MB leaves ~3 MB for in/out blocks inside the 16 MB VMEM
 _VMEM_TEMP_BUDGET = 13 * 1024 * 1024
