@@ -46,29 +46,40 @@ def halo_exchange_rows(block: jax.Array, radius: int, axis_name: str,
 
 
 def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
-                          out_dtype=None):
+                          out_ndim: int | None = None):
     """Run a replicate-padded stencil op on a row-sharded image.
 
-    fn_full: the single-device op ((H', W, C) → (H', W, C)-shaped output with
-    its own internal replicate padding).  Each device receives its rows plus
-    exchanged halos, runs fn_full on the extended block, and crops the halo
-    back off — exact for any op whose output pixel depends only on the
-    (2r+1)² window.
+    fn_full: the single-device op ((H', W, C) → output with leading row dim,
+    computing with its own internal replicate padding).  Each device receives
+    its rows plus exchanged halos, runs fn_full on the extended block, and
+    crops the halo back off — exact for any op whose output pixel depends
+    only on the (2r+1)² input window.  out_ndim: rank of fn_full's output
+    (defaults to the image's rank).
     """
     d = mesh.shape[SPATIAL_AXIS]
     h = image.shape[0]
     if h % d != 0:
         raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
+    if h // d < radius:
+        raise ValueError(f"shard height {h // d} smaller than halo {radius}")
     spec = P(SPATIAL_AXIS, *([None] * (image.ndim - 1)))
+    out_spec = P(SPATIAL_AXIS, *([None] * ((out_ndim or image.ndim) - 1)))
 
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
-                       out_specs=spec, check_vma=False)
+                       out_specs=out_spec, check_vma=False)
     def run(local):
         padded = halo_exchange_rows(local, radius, SPATIAL_AXIS, d)
         out = fn_full(padded)
         return out[radius : radius + local.shape[0]]
 
     return run(image)
+
+
+def _default_mesh(mesh):
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh(batch=1, spatial=len(jax.devices()))
+    return mesh
 
 
 def bilateral_filter_sharded(image, ksize: int = 9, sigma_space: float = 10.0,
@@ -78,11 +89,60 @@ def bilateral_filter_sharded(image, ksize: int = 9, sigma_space: float = 10.0,
     axis with ppermute halo exchange. Bit-identical to the single-device op."""
     from ..ops.bilateral import _bf_jit
     from ..ops._dispatch import resolve_impl
-    if mesh is None:
-        from .mesh import make_mesh
-        mesh = make_mesh(batch=1, spatial=len(jax.devices()))
+    mesh = _default_mesh(mesh)
     impl = resolve_impl(impl)
     radius = ksize // 2
     fn = lambda blk: _bf_jit(blk, int(ksize), float(sigma_space),
                              float(sigma_color), impl)
     return stencil_apply_sharded(fn, image, radius, mesh)
+
+
+def adaptive_bilateral_filter_sharded(image, ksize: int = 9,
+                                      sigma_space: float = 10.0,
+                                      sigma_color: float = 30.0,
+                                      mesh: Mesh | None = None,
+                                      impl: str = "auto"):
+    """Row-sharded adaptive bilateral filter (halo = radius: both the box
+    mean and the range window span the same (2r+1)² neighbourhood)."""
+    from ..ops.adaptive_bilateral import _abf_jit
+    from ..ops._dispatch import resolve_impl
+    mesh = _default_mesh(mesh)
+    impl = resolve_impl(impl)
+    radius = ksize // 2
+    fn = lambda blk: _abf_jit(blk, int(ksize), float(sigma_space),
+                              float(sigma_color), impl)
+    return stencil_apply_sharded(fn, image, radius, mesh)
+
+
+def gradient_sharded(image, mesh: Mesh | None = None, impl: str = "auto"):
+    """Row-sharded gradient magnitude (halo = 1)."""
+    from ..ops.gradient import _gradient_jit
+    from ..ops._dispatch import resolve_impl
+    mesh = _default_mesh(mesh)
+    impl = resolve_impl(impl)
+    fn = lambda blk: _gradient_jit(blk, impl=impl)
+    return stencil_apply_sharded(fn, image, 1, mesh, out_ndim=2)
+
+
+def bilateral_texture_filter_sharded(image, ksize: int = 9, nitr: int = 3,
+                                     mesh: Mesh | None = None,
+                                     impl: str = "auto"):
+    """Row-sharded bilateral texture filter.
+
+    Each BTF iteration widens the dependency footprint — gradient (1) +
+    blur/mRTV (r) + guide (r) + JBF (k−1) per iteration — so the halo is
+    nitr·(3r + k) rows (conservative).  Interior rows and shard seams are
+    bit-identical to the single-device op.  The outermost ~(3r+k)·nitr rows
+    at the GLOBAL image top/bottom can differ by a few levels: a multi-stage
+    pipeline does not commute with pre-padding (stage 2 of a replicate-padded
+    input ≠ replicate-padding stage 2), so boundary devices see slightly
+    different virtual rows than the single-device op's per-stage clamping.
+    Single-stage ops (bilateral/ABF/gradient) are exact everywhere."""
+    from ..ops.bilateral_texture import _btf_jit
+    from ..ops._dispatch import resolve_impl
+    mesh = _default_mesh(mesh)
+    impl = resolve_impl(impl)
+    radius = ksize // 2
+    halo = nitr * (3 * radius + ksize)
+    fn = lambda blk: _btf_jit(blk, int(ksize), int(nitr), impl)
+    return stencil_apply_sharded(fn, image, halo, mesh)
