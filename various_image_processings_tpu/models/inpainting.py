@@ -174,7 +174,7 @@ def _ring_search(image_f: jax.Array, remained: jax.Array, tx: jax.Array,
     all_full: every target's mask is all-ones (interior targets, non-initial
     pass) — the Σ m·a² term collapses to one per-candidate reduction instead
     of a (Ncand×507×T) matmul, roughly halving the search FLOPs.
-    Returns (best_energy (T,) f32, best_y (T,) i32, best_x (T,) i32).
+    Returns a packed (3, T) f32 array: [best_energy, best_y, best_x].
     """
     t = tx.shape[0]
     patch_len = WINDOW_SIZE * WINDOW_SIZE * 3
@@ -264,7 +264,11 @@ def _ring_search(image_f: jax.Array, remained: jax.Array, tx: jax.Array,
     best_e, best_y, best_x = jax.lax.fori_loop(0, n_strips, strip_best, init)
     best_e = best_e + b2_const
     best_e = jnp.where(tvalid, best_e, 0.0)
-    return best_e, best_y, best_x
+    # one packed array → ONE host download per chunk (separate np.asarray
+    # calls each cost a full tunnel round-trip); positions < 2²⁴ are exact
+    # in f32
+    return jnp.stack([best_e, best_y.astype(jnp.float32),
+                      best_x.astype(jnp.float32)])
 
 
 # ---------------------------------------------------------------------------
@@ -311,16 +315,17 @@ class WexlerInpainting:
         img_dev = jnp.asarray(image).astype(jnp.float32)
         total_energy = 0.0
 
+        # `remained` lives twice: a host mirror (contour extraction) and a
+        # device copy (candidate validity + fills) — both updated by the same
+        # fills, so NO per-ring host↔device transfer is needed.
+        rem_dev = jnp.asarray(remained).astype(jnp.float32)
         while True:
             if not remained.any():
                 break
             ring = contour_with_priority(remained)
             if not ring:
                 break
-            # one device call per ring: pad the target list to a bucketed
-            # size (few jit variants, few host↔device round-trips — the
-            # tunnel RTT dominated a per-128-chunk loop)
-            rem_dev = jnp.asarray(remained).astype(jnp.float32)
+            # one device call per ring chunk, bucketed target padding
             for i in range(0, len(ring), _MAX_TARGETS):
                 chunk = ring[i : i + _MAX_TARGETS]
                 t = len(chunk)
@@ -332,18 +337,21 @@ class WexlerInpainting:
                 interior = ((tx[:t] >= WHALF) & (tx[:t] < w - WHALF)
                             & (ty[:t] >= WHALF) & (ty[:t] < h - WHALF))
                 all_full = (not initial) and bool(interior.all())
-                e, by, bx = _ring_search(img_dev, rem_dev, jnp.asarray(tx),
-                                         jnp.asarray(ty), jnp.asarray(tvalid),
-                                         h, w, initial, all_full)
-                e = np.asarray(e)
-                by = np.asarray(by)
-                bx = np.asarray(bx)
+                packed = np.asarray(_ring_search(
+                    img_dev, rem_dev, jnp.asarray(tx), jnp.asarray(ty),
+                    jnp.asarray(tvalid), h, w, initial, all_full))
+                e = packed[0]
+                by = packed[1, :t].astype(np.int32)
+                bx = packed[2, :t].astype(np.int32)
                 if not np.isfinite(e[:t]).all():
                     return image, -1.0  # exemplar not found (:308-311)
                 total_energy += float(
                     (e[:t] * weight[ty[:t], tx[:t]]).sum())
-                # batched fill of this chunk
-                img_dev = img_dev.at[ty[:t], tx[:t]].set(img_dev[by[:t], bx[:t]])
+                # batched fill of this chunk (device + host mirrors)
+                tyd = jnp.asarray(ty[:t])
+                txd = jnp.asarray(tx[:t])
+                img_dev = img_dev.at[tyd, txd].set(img_dev[jnp.asarray(by), jnp.asarray(bx)])
+                rem_dev = rem_dev.at[tyd, txd].set(0.0)
                 remained[ty[:t], tx[:t]] = 0
         filled = np.clip(np.asarray(img_dev), 0, 255).astype(np.uint8)
         return filled, total_energy
