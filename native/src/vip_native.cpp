@@ -11,6 +11,7 @@
 //
 // Exposed as a plain C ABI for ctypes; built by native/Makefile.
 
+#include <algorithm>
 #include <cstdint>
 #include <vector>
 
@@ -122,6 +123,88 @@ void vip_component_sums(const int32_t* comp, const uint8_t* img,
             s[5] += 1;
         }
     }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SLIC small-segment merge (reference include/cpp/slic.hpp:423-453), the
+// euclidean-metric fast path.  comp: (h*w) int32 component map (raster
+// first-encounter order); means: (ncomp*3) int64 integer-truncated Lab
+// means; sizes: (ncomp,) int64.  mapping_out: (ncomp,) int32 — the merged
+// root for every component.  Components are visited in id (raster) order;
+// a component smaller than min_area merges into the adjacent region whose
+// mean color is closest (L scaled by 2.55, ties to the lowest id).
+// ---------------------------------------------------------------------------
+void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
+                    const int64_t* means, const int64_t* sizes,
+                    int64_t min_area, int32_t* mapping_out) {
+    std::vector<int32_t> mapping(ncomp);
+    for (int32_t c = 0; c < ncomp; c++) mapping[c] = c;
+    auto find = [&](int32_t x) {
+        while (mapping[x] != x) {
+            mapping[x] = mapping[mapping[x]];
+            x = mapping[x];
+        }
+        return x;
+    };
+
+    // adjacency as sorted unique neighbor lists
+    std::vector<std::vector<int32_t>> nbrs(ncomp);
+    auto add_edge = [&](int32_t a, int32_t b) {
+        if (a == b) return;
+        nbrs[a].push_back(b);
+        nbrs[b].push_back(a);
+    };
+    for (int y = 0; y < h; y++) {
+        const int64_t row = static_cast<int64_t>(y) * w;
+        for (int x = 0; x < w; x++) {
+            const int64_t i = row + x;
+            if (x + 1 < w) add_edge(comp[i], comp[i + 1]);
+            if (y + 1 < h) add_edge(comp[i], comp[i + w]);
+        }
+    }
+    for (auto& v : nbrs) {
+        std::sort(v.begin(), v.end());
+        v.erase(std::unique(v.begin(), v.end()), v.end());
+    }
+
+    auto color_dist = [&](int32_t c1, int32_t c2) {
+        const double dl = (means[c1 * 3 + 0] - means[c2 * 3 + 0]) * 2.55;
+        const double da = static_cast<double>(means[c1 * 3 + 1] - means[c2 * 3 + 1]);
+        const double db = static_cast<double>(means[c1 * 3 + 2] - means[c2 * 3 + 2]);
+        return dl * dl + da * da + db * db;
+    };
+
+    std::vector<int32_t> cand;
+    for (int32_t c = 0; c < ncomp; c++) {
+        const int32_t cur = find(c);
+        if (sizes[cur] >= min_area) continue;
+        // canonicalized, deduped neighbor roots of the merged region
+        cand.clear();
+        for (int32_t v : nbrs[cur]) {
+            const int32_t r = find(v);
+            if (r != cur) cand.push_back(r);
+        }
+        std::sort(cand.begin(), cand.end());
+        cand.erase(std::unique(cand.begin(), cand.end()), cand.end());
+        if (cand.empty()) continue;
+        int32_t best = cand[0];
+        double best_d = color_dist(cur, cand[0]);
+        for (size_t i = 1; i < cand.size(); i++) {
+            const double d = color_dist(cur, cand[i]);
+            if (d < best_d) { best_d = d; best = cand[i]; }
+        }
+        mapping[cur] = best;
+        // fold cur's adjacency into best (entries canonicalized at use)
+        auto& nb = nbrs[best];
+        nb.insert(nb.end(), nbrs[cur].begin(), nbrs[cur].end());
+        nbrs[cur].clear();
+        nbrs[cur].shrink_to_fit();
+    }
+    for (int32_t c = 0; c < ncomp; c++) mapping_out[c] = find(c);
 }
 
 }  // extern "C"

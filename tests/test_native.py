@@ -59,3 +59,17 @@ def test_component_sums():
     sums = native.component_sums(labels, img, 2)
     np.testing.assert_array_equal(sums[0], [1, 0, 3, 5, 7, 2])
     np.testing.assert_array_equal(sums[1], [1, 2, 15, 17, 19, 2])
+
+
+def test_slic_merge_matches_python_path(monkeypatch):
+    from various_image_processings_tpu.models import slic as slic_mod
+    rng = np.random.RandomState(3)
+    labels = rng.randint(0, 6, size=(60, 50)).astype(np.int32)
+    lab = rng.randint(0, 255, size=(60, 50, 3)).astype(np.uint8)
+
+    with_native = slic_mod.enforce_connectivity(labels, lab, sp_size=30)
+
+    # force the python fallback
+    monkeypatch.setattr(native, "slic_merge", lambda *a, **k: None)
+    without_native = slic_mod.enforce_connectivity(labels, lab, sp_size=30)
+    np.testing.assert_array_equal(with_native, without_native)

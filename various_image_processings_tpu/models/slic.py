@@ -284,6 +284,15 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
                                   minlength=ncomp).astype(np.int64)
     means //= sizes[:, None]  # int truncation (:415-421)
 
+    min_area = (sp_size * sp_size) // 20
+    if metric == "euclidean":
+        from ..utils import native
+        mapping_native = native.slic_merge(comp, means, sizes, min_area)
+        if mapping_native is not None:
+            final = mapping_native[comp.reshape(-1)]
+            _, inverse = np.unique(final, return_inverse=True)
+            return inverse.reshape(h, w).astype(np.int32)
+
     # component adjacency (4-connectivity), vectorized edge extraction
     ea = np.concatenate([comp[:, :-1][comp[:, :-1] != comp[:, 1:]],
                          comp[:-1, :][comp[:-1, :] != comp[1:, :]]])
@@ -295,7 +304,6 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
     for u, v in edges:
         neighbors[int(u)].add(int(v))
 
-    min_area = (sp_size * sp_size) // 20
     mapping = np.arange(ncomp)
 
     def find(c):

@@ -43,6 +43,12 @@ def _lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.vip_slic_merge.restype = None
+    lib.vip_slic_merge.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
     return lib
 
 
@@ -98,3 +104,25 @@ def component_sums(comp: np.ndarray, img: np.ndarray, ncomp: int):
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
         sums.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return sums
+
+
+def slic_merge(comp: np.ndarray, means: np.ndarray, sizes: np.ndarray,
+               min_area: int):
+    """(H,W) i32 components + (N,3) i64 means + (N,) i64 sizes →
+    (N,) i32 merged-root mapping (euclidean metric), or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    comp = np.ascontiguousarray(comp, np.int32)
+    means = np.ascontiguousarray(means, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    h, w = comp.shape
+    n = means.shape[0]
+    mapping = np.empty(n, np.int32)
+    lib.vip_slic_merge(
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, n,
+        means.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(min_area),
+        mapping.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return mapping
