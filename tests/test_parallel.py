@@ -98,3 +98,17 @@ def test_sharded_btf_interior_exact():
     np.testing.assert_array_equal(out[halo:-halo], single[halo:-halo])
     edge_diff = np.abs(out.astype(int) - single.astype(int))
     assert edge_diff.max() <= 40  # boundary-band divergence stays bounded
+
+
+def test_batched_abf_and_gradient():
+    from various_image_processings_tpu.parallel import (
+        adaptive_bilateral_filter_batched, gradient_batched)
+    from various_image_processings_tpu.ops.adaptive_bilateral import adaptive_bilateral_filter
+    from various_image_processings_tpu.ops.gradient import gradient
+    imgs = batch_images(4, 24, 24)
+    mesh = make_mesh(batch=4, spatial=1)
+    out = np.asarray(adaptive_bilateral_filter_batched(imgs, 9, mesh=mesh, impl="xla"))
+    np.testing.assert_array_equal(
+        out[1], np.asarray(adaptive_bilateral_filter(imgs[1], 9, impl="xla")))
+    g = np.asarray(gradient_batched(imgs, mesh=mesh, impl="xla"))
+    np.testing.assert_array_equal(g[2], np.asarray(gradient(imgs[2], impl="xla")))

@@ -9,6 +9,11 @@ from .mesh import SPATIAL_AXIS as SPATIAL_AXIS
 from .batch import batched_apply as batched_apply
 from .batch import bilateral_filter_batched as bilateral_filter_batched
 from .batch import bilateral_texture_filter_batched as bilateral_texture_filter_batched
+from .batch import adaptive_bilateral_filter_batched as adaptive_bilateral_filter_batched
+from .batch import gradient_batched as gradient_batched
 from .spatial import halo_exchange_rows as halo_exchange_rows
 from .spatial import stencil_apply_sharded as stencil_apply_sharded
 from .spatial import bilateral_filter_sharded as bilateral_filter_sharded
+from .spatial import adaptive_bilateral_filter_sharded as adaptive_bilateral_filter_sharded
+from .spatial import gradient_sharded as gradient_sharded
+from .spatial import bilateral_texture_filter_sharded as bilateral_texture_filter_sharded

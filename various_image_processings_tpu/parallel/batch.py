@@ -68,6 +68,12 @@ def _cached_single_device_runner(op: str, params: tuple, impl: str):
     elif op == "btf":
         from ..ops.bilateral_texture import _btf_jit
         single = lambda img: _btf_jit(img, *params, impl)
+    elif op == "abf":
+        from ..ops.adaptive_bilateral import _abf_jit
+        single = lambda img: _abf_jit(img, *params, impl)
+    elif op == "gradient":
+        from ..ops.gradient import _gradient_jit
+        single = lambda img: _gradient_jit(img, impl=impl)
     else:
         raise ValueError(op)
 
@@ -92,8 +98,10 @@ def _dispatch_batched(op, params, images, mesh, impl):
     if nbatch == 1:
         return runner(images)
     spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
-    return shard_map(runner, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                     check_vma=False)(images)
+    # out spec: batch axis sharded, remaining dims (whatever rank the op
+    # returns) replicated
+    return shard_map(runner, mesh=mesh, in_specs=(spec,),
+                     out_specs=P(BATCH_AXIS), check_vma=False)(images)
 
 
 def bilateral_filter_batched(images, ksize: int = 9, sigma_space: float = 10.0,
@@ -110,3 +118,19 @@ def bilateral_texture_filter_batched(images, ksize: int = 9, nitr: int = 3,
                                      impl: str = "auto"):
     """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
     return _dispatch_batched("btf", (int(ksize), int(nitr)), images, mesh, impl)
+
+
+def adaptive_bilateral_filter_batched(images, ksize: int = 9,
+                                      sigma_space: float = 10.0,
+                                      sigma_color: float = 30.0,
+                                      mesh: Mesh | None = None,
+                                      impl: str = "auto"):
+    """(B, H, W, 3) u8 → (B, H, W, 3) u8, batch-sharded over the mesh."""
+    return _dispatch_batched("abf",
+                             (int(ksize), float(sigma_space), float(sigma_color)),
+                             images, mesh, impl)
+
+
+def gradient_batched(images, mesh: Mesh | None = None, impl: str = "auto"):
+    """(B, H, W[, C]) u8|f32 → (B, H, W) f32, batch-sharded over the mesh."""
+    return _dispatch_batched("gradient", (), images, mesh, impl)
