@@ -151,3 +151,28 @@ def test_slic_quality_vs_reference(oracle):
     from scipy.ndimage import binary_dilation
     recall = (b_ref & binary_dilation(b_ours, iterations=2)).sum() / max(b_ref.sum(), 1)
     assert recall > 0.7
+
+
+def test_slic_segment_statistics_vs_reference(oracle):
+    """Partition-shape statistics vs the reference: mean segment size and
+    size dispersion must be in the same regime.  (Under-segmentation error
+    is NOT used — it needs ground-truth regions; two valid over-segmentations
+    offset by half a cell score ~0.5 against each other.)"""
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/sample_image/lenna.png")
+    if img is None:
+        pytest.skip("lenna unavailable")
+    img = np.ascontiguousarray(img[::2, ::2])
+    h, w = img.shape[:2]
+    ref = oracle("slic", img, h, w, h * w * 4, 32, 10, 20.0).view(np.int32).reshape(h, w)
+    from various_image_processings_tpu.ops.slic import superpixel_slic
+    ours = np.asarray(superpixel_slic(img, 32, 10, 20.0))
+
+    def stats(lbl):
+        _, counts = np.unique(lbl, return_counts=True)
+        return counts.mean(), np.median(counts)
+
+    ref_mean, ref_med = stats(ref)
+    our_mean, our_med = stats(ours)
+    assert 0.5 <= our_mean / ref_mean <= 2.0
+    assert 0.4 <= our_med / max(ref_med, 1) <= 2.5
