@@ -8,26 +8,57 @@ decreased.
 
 TPU-first redesign of the hot path: the reference's ``serach_exemplar``
 (:220-269) is an exhaustive per-pixel O(W·H·13²) SSD scan, called once per
-filled pixel.  Here one whole contour ring is batched and the scan becomes
-two MXU matmuls per candidate strip:
+filled pixel.  Here the ENTIRE fill pass is one device program
+(``_fill_pass_device``): a ``lax.while_loop`` peels one contour ring per
+iteration, the whole ring is batched, all candidate patches are extracted
+once per ring (bf16 — exact for integer pixel values) and the scan becomes
+two MXU matmuls:
 
     E[c, t] = Σ_i m_ti (a_ci − b_ti)²
             = (A² Mᵀ)[c, t] − 2 (A B'ᵀ)[c, t] + Σ_i m_ti b_ti²
 
 with A = candidate patches, B' = mask-weighted target patches; candidates
 whose 13×13 patch touches the hole are rejected via a box-sum of the
-remaining mask (the reference's reject test, :238-241).
+remaining mask (the reference's reject test, :238-241).  One pass costs ONE
+dispatch and ONE download — the per-ring host round-trips that dominated the
+wall clock on a remote-device runtime are gone.
 
 Known divergences from the strictly sequential reference, kept deliberately
 (documented for the parity budget):
 - all targets of one contour ring share the ring-start image state (the
   reference fills one pixel at a time, letting each fill feed the next
   search); energies are f32 on the MXU instead of exact ints;
-- priority-queue tie order among equal-priority contour pixels follows
-  contour order (std::priority_queue's heap order is unspecified anyway);
+- the ring is the morphological boundary of the remaining mask (hole pixels
+  with a known 8-neighbour, image border counting as known) instead of the
+  reference's Freeman chain-code trace from the first masked pixel.  For a
+  simply-connected hole the sets are identical; for multi-component masks
+  all components peel simultaneously (the reference does one component's
+  contour per round), and for masks with known islands inside, cavity
+  boundaries fill inward and outward at once.  ``extract_mask_contour`` /
+  ``contour_with_priority`` (the trace + priority-queue twins) remain for
+  the weight computation and API/test parity;
+- when a ring exceeds the batch capacity, the overflow is deferred to the
+  next while-iteration in raster order rather than filled in priority order
+  (within one batch the order is irrelevant — all fills read ring-start
+  state; std::priority_queue's tie order is unspecified anyway);
 - odd pyramid levels: pyrUp output is cropped to the finer level's size
   (the reference feeds a 2×-even upsample into a masked copyTo, which
-  asserts on odd level sizes).
+  asserts on odd level sizes);
+- candidate rejection is global: a candidate whose 13×13 window touches the
+  hole anywhere is rejected for every target, whereas the reference only
+  rejects when the offending tap maps to an in-range target tap (:229-241).
+  For targets within WHALF of the image border this rejects candidates the
+  reference would accept; the reference's behavior makes the valid-candidate
+  set target-dependent, which would forfeit the shared candidate matrix that
+  makes the MXU batching work.  Border-hole fills can therefore pick a
+  different exemplar (both picks minimize the same masked SSD);
+- on exemplar-search failure mid-pass (every candidate window intersects the
+  hole), ``_fill_pass`` returns the ORIGINAL image and discards partial
+  fills; the reference commits the partially-filled buffer (energy −1 passes
+  its ``current_energy <= new_energy`` check, :43-49).  Deliberate: a partial
+  commit leaves u8 garbage in unfilled pixels that the next pyramid level
+  upsamples into the image, whereas discarding keeps the level's input
+  intact for the (coarser-level-initialized) next pass.
 """
 
 from __future__ import annotations
@@ -45,16 +76,7 @@ WHALF = WINDOW_SIZE // 2
 PYRAMID_BOTTOM_SIZE = 32  # :324
 MAX_LOOP = 5              # :325
 WEIGHT_BASE = 1.2         # :172
-TARGET_CHUNK = 128        # smallest target bucket per jitted call
-_BUCKETS = (128, 256, 512, 1024)
-_MAX_TARGETS = _BUCKETS[-1]
-
-
-def _bucket(n: int) -> int:
-    for b in _BUCKETS:
-        if n <= b:
-            return b
-    return _MAX_TARGETS
+RING_CAP = 256            # max ring targets batched per while-loop iteration
 
 
 # ---------------------------------------------------------------------------
@@ -159,24 +181,19 @@ def contour_with_priority(mask: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# device-side batched exemplar search
+# device-side fill pass (whole onion-peel loop in one XLA program)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "initial",
-                                              "all_full"))
-def _ring_search(image_f: jax.Array, remained: jax.Array, tx: jax.Array,
-                 ty: jax.Array, tvalid: jax.Array, height: int, width: int,
-                 initial: bool, all_full: bool = False):
-    """Find the best exemplar for each of ≤TARGET_CHUNK ring targets.
+def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
+                         initial):
+    """Exemplar search for ≤RING_CAP ring targets against ALL candidates.
 
-    image_f: (H, W, 3) f32; remained: (H, W) f32 (1 = hole);
-    tx/ty: (T,) i32 target coords; tvalid: (T,) bool.
-    all_full: every target's mask is all-ones (interior targets, non-initial
-    pass) — the Σ m·a² term collapses to one per-candidate reduction instead
-    of a (Ncand×507×T) matmul, roughly halving the search FLOPs.
-    Returns a packed (3, T) f32 array: [best_energy, best_y, best_x].
+    image_f: (H, W, 3) f32 (integer-valued); remained: (H, W) f32 (1 = hole);
+    ty/tx: (T,) i32 target coords (padded entries anywhere in-bounds);
+    tvalid: (T,) bool.  Returns (energy (T,) f32 — inf where no candidate,
+    0 where invalid —, best_y, best_x (T,) i32).
     """
-    t = tx.shape[0]
+    t = ty.shape[0]
     patch_len = WINDOW_SIZE * WINDOW_SIZE * 3
 
     img_pad = jnp.pad(image_f, [(WHALF, WHALF), (WHALF, WHALF), (0, 0)])
@@ -198,77 +215,103 @@ def _ring_search(image_f: jax.Array, remained: jax.Array, tx: jax.Array,
     m = in_range[:, :, None] & in_range_x[:, None, :]      # (T, 13, 13)
     if initial:
         m = m & (rems == 0)    # skip the target's own unknown pixels (:244-246)
-    m3 = jnp.repeat(m[:, :, :, None], 3, axis=3)
-    b = patches.reshape(t, patch_len)
-    mflat = m3.reshape(t, patch_len).astype(jnp.float32)
+    # channel-major (c, ky, kx) flattening to match the feature order
+    # conv_general_dilated_patches produces for the candidates — so the big
+    # candidate matrix never needs a transpose.
+    b = patches.transpose(0, 3, 1, 2).reshape(t, patch_len)
+    mflat = (jnp.broadcast_to(m[:, None, :, :],
+                              (t, 3, WINDOW_SIZE, WINDOW_SIZE))
+             .reshape(t, patch_len).astype(jnp.float32))
     b_masked = (b * mflat)                                   # B'
     b2_const = jnp.sum(b_masked * b, axis=1)                 # Σ m b²  (T,)
 
-    # candidate sweep over row strips ----------------------------------------
+    # candidate patches: ONE whole-image extraction in bf16 -----------------
+    # bf16 is exact here: the image starts u8 and every fill copies pixel
+    # values, so patch entries stay integers in [0, 255] — all exactly
+    # representable in bf16; the MXU accumulates the products in f32.
     n_cy = height - 2 * WHALF   # candidate centre rows: WHALF .. H-WHALF-1
     n_cx = width - 2 * WHALF
-    strip = 32
-    n_strips = -(-n_cy // strip)
-    # pad rows so the last strip's slab never clamps (dynamic_slice clamps
-    # its start, which would silently shift candidate coordinates)
-    pad_rows = n_strips * strip + 2 * WHALF - height
-    image_pad_rows = jnp.pad(image_f, [(0, max(pad_rows, 0)), (0, 0), (0, 0)])
+    ncand = n_cy * n_cx
+    a = jax.lax.conv_general_dilated_patches(
+        image_f.astype(jnp.bfloat16).transpose(2, 0, 1)[None],  # (1, 3, H, W)
+        (WINDOW_SIZE, WINDOW_SIZE), (1, 1), "VALID",
+    ).reshape(patch_len, ncand)          # (507, Nc), features (c, ky, kx)
 
     # candidate validity: no remaining pixel in the patch (box sum == 0)
     ii = jnp.pad(jnp.cumsum(jnp.cumsum(remained, axis=0), axis=1),
-                 [(1, max(pad_rows, 0) + 1), (1, 1)])
+                 [(1, 0), (1, 0)])
+    k = WINDOW_SIZE
+    box_sum = (ii[k:, k:] - ii[k:, :-k] - ii[:-k, k:] + ii[:-k, :-k])
+    valid = (box_sum == 0).reshape(ncand)
 
-    def strip_best(s, carry):
-        best_e, best_y, best_x = carry
-        y0 = s * strip  # candidate row offset within [0, n_cy)
-        # patches for candidate centres rows y0..y0+strip-1 (centre = row+WHALF)
-        slab = jax.lax.dynamic_slice(
-            image_pad_rows, (y0, 0, 0), (strip + 2 * WHALF, width, 3))
-        patches_c = jax.lax.conv_general_dilated_patches(
-            slab.transpose(2, 0, 1)[None],                 # (1, 3, rows, W)
-            (WINDOW_SIZE, WINDOW_SIZE), (1, 1), "VALID")   # (1, 3*169, strip, n_cx)
-        a = patches_c[0].reshape(3, WINDOW_SIZE, WINDOW_SIZE, strip, n_cx)
-        a = a.transpose(3, 4, 1, 2, 0).reshape(strip * n_cx, patch_len)
-        # validity via integral of `remained` over the candidate window
-        cy = y0 + jnp.arange(strip)
-        y1c = cy[:, None] + 2 * WHALF + 1
-        x0c = jnp.arange(n_cx)[None, :]
-        x1c = x0c + 2 * WHALF + 1
-        box_sum = (ii[y1c, x1c] - ii[y1c, x0c] - ii[cy[:, None], x1c]
-                   + ii[cy[:, None], x0c])
-        valid = (box_sum == 0).reshape(-1)
-        row_ok = (cy < n_cy)[:, None].repeat(n_cx, 1).reshape(-1)
+    cross = jax.lax.dot_general(
+        a, b_masked.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Nc, T)
+    af = a.astype(jnp.float32)                               # exact (integers)
+    e = (jax.lax.dot_general(af * af, mflat,
+                             dimension_numbers=(((0,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         - 2.0 * cross)
+    e = jnp.where(valid[:, None], e, jnp.float32(np.inf))
+    # argmin returns the FIRST minimum → candidate scan order is raster order
+    # of window top-lefts, same tie-break as the reference's y/x loops
+    idx = jnp.argmin(e, axis=0)                              # (T,)
+    emin = jnp.take_along_axis(e, idx[None, :], axis=0)[0]
+    best_e = jnp.where(tvalid, emin + b2_const, 0.0)
+    best_y = (idx // n_cx + WHALF).astype(jnp.int32)
+    best_x = (idx % n_cx + WHALF).astype(jnp.int32)
+    return best_e, best_y, best_x
 
-        # (bf16 inputs would be exact for u8 patch values and run the MXU 4×
-        # faster, but the per-strip cast/relayout overhead measured slower
-        # end-to-end — keep f32)
-        cross = jnp.dot(a, b_masked.T, preferred_element_type=jnp.float32)
-        if all_full:
-            sum_a2 = jnp.sum(a * a, axis=1, keepdims=True)  # (Nc, 1)
-            e = sum_a2 - 2.0 * cross
-        else:
-            e = (jnp.dot(a * a, mflat.T, preferred_element_type=jnp.float32)
-                 - 2.0 * cross)
-        e = jnp.where((valid & row_ok)[:, None], e, jnp.float32(np.inf))
-        idx = jnp.argmin(e, axis=0)                          # (T,)
-        emin = jnp.take_along_axis(e, idx[None, :], axis=0)[0]
-        better = emin < best_e
-        cyy = (y0 + idx // n_cx + WHALF).astype(jnp.int32)
-        cxx = (idx % n_cx + WHALF).astype(jnp.int32)
-        return (jnp.where(better, emin, best_e),
-                jnp.where(better, cyy, best_y),
-                jnp.where(better, cxx, best_x))
 
-    init = (jnp.full((t,), np.inf, jnp.float32),
-            jnp.zeros((t,), jnp.int32), jnp.zeros((t,), jnp.int32))
-    best_e, best_y, best_x = jax.lax.fori_loop(0, n_strips, strip_best, init)
-    best_e = best_e + b2_const
-    best_e = jnp.where(tvalid, best_e, 0.0)
-    # one packed array → ONE host download per chunk (separate np.asarray
-    # calls each cost a full tunnel round-trip); positions < 2²⁴ are exact
-    # in f32
-    return jnp.stack([best_e, best_y.astype(jnp.float32),
-                      best_x.astype(jnp.float32)])
+def _boundary_ring(rem, height, width):
+    """Hole pixels with a known 8-neighbour (image border counts as known)."""
+    known = jnp.pad(1.0 - rem, 1, constant_values=1.0)
+    neigh = jnp.zeros((height, width), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            neigh = jnp.maximum(neigh, known[dy : dy + height, dx : dx + width])
+    return (rem > 0) & (neigh > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "initial",
+                                              "cap"))
+def _fill_pass_device(image_u8, remained0, weight, height, width,
+                      initial: bool, cap: int = RING_CAP):
+    """One exemplar_based_inpainting pass (reference :271-322) as a single
+    XLA program: lax.while_loop peels ≤cap boundary targets per iteration.
+    Returns (filled u8 image, energy f32 — −1.0 on search failure)."""
+
+    def body(carry):
+        img_f, rem, energy, fail = carry
+        ring = _boundary_ring(rem, height, width)
+        count = jnp.sum(ring)
+        tys, txs = jnp.nonzero(ring, size=cap, fill_value=0)  # raster order
+        tvalid = jnp.arange(cap) < count
+        e, by, bx = _ring_targets_search(img_f, rem, tys, txs, tvalid,
+                                         height, width, initial)
+        fail_now = jnp.any(tvalid & ~jnp.isfinite(e))   # :308-311
+        do = tvalid & ~fail_now
+        # gate the scatters through out-of-bounds indices (mode="drop"):
+        # padded / failing entries write nowhere
+        ty_s = jnp.where(do, tys, height)
+        vals = img_f[by, bx]                            # (cap, 3)
+        img_f = img_f.at[ty_s, txs].set(vals, mode="drop")
+        rem = rem.at[ty_s, txs].set(0.0, mode="drop")
+        energy = energy + jnp.sum(jnp.where(do, e * weight[tys, txs], 0.0))
+        return img_f, rem, energy, fail | fail_now
+
+    def cond(carry):
+        _, rem, _, fail = carry
+        return (jnp.sum(rem) > 0) & ~fail
+
+    carry0 = (image_u8.astype(jnp.float32), remained0.astype(jnp.float32),
+              jnp.float32(0.0), jnp.bool_(False))
+    img_f, _, energy, fail = jax.lax.while_loop(cond, body, carry0)
+    filled = jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8)
+    return filled, jnp.where(fail, jnp.float32(-1.0), energy)
 
 
 # ---------------------------------------------------------------------------
@@ -309,52 +352,19 @@ class WexlerInpainting:
     def _fill_pass(self, image: np.ndarray, mask: np.ndarray,
                    weight: np.ndarray, initial: bool):
         """One exemplar_based_inpainting pass (reference :271-322).
-        Returns (filled image, total energy) or energy −1 on failure."""
+        Returns (filled image, total energy) or energy −1 on failure.
+        One device dispatch + one download — the whole onion-peel loop runs
+        in ``_fill_pass_device``."""
         h, w = mask.shape
-        remained = (mask > 0).astype(np.uint8).copy()
-        img_dev = jnp.asarray(image).astype(jnp.float32)
-        total_energy = 0.0
-
-        # `remained` lives twice: a host mirror (contour extraction) and a
-        # device copy (candidate validity + fills) — both updated by the same
-        # fills, so NO per-ring host↔device transfer is needed.
-        rem_dev = jnp.asarray(remained).astype(jnp.float32)
-        while True:
-            if not remained.any():
-                break
-            ring = contour_with_priority(remained)
-            if not ring:
-                break
-            # one device call per ring chunk, bucketed target padding
-            for i in range(0, len(ring), _MAX_TARGETS):
-                chunk = ring[i : i + _MAX_TARGETS]
-                t = len(chunk)
-                bucket = _bucket(t)
-                pad = bucket - t
-                tx = np.array([p[0] for p in chunk] + [0] * pad, np.int32)
-                ty = np.array([p[1] for p in chunk] + [0] * pad, np.int32)
-                tvalid = np.array([True] * t + [False] * pad)
-                interior = ((tx[:t] >= WHALF) & (tx[:t] < w - WHALF)
-                            & (ty[:t] >= WHALF) & (ty[:t] < h - WHALF))
-                all_full = (not initial) and bool(interior.all())
-                packed = np.asarray(_ring_search(
-                    img_dev, rem_dev, jnp.asarray(tx), jnp.asarray(ty),
-                    jnp.asarray(tvalid), h, w, initial, all_full))
-                e = packed[0]
-                by = packed[1, :t].astype(np.int32)
-                bx = packed[2, :t].astype(np.int32)
-                if not np.isfinite(e[:t]).all():
-                    return image, -1.0  # exemplar not found (:308-311)
-                total_energy += float(
-                    (e[:t] * weight[ty[:t], tx[:t]]).sum())
-                # batched fill of this chunk (device + host mirrors)
-                tyd = jnp.asarray(ty[:t])
-                txd = jnp.asarray(tx[:t])
-                img_dev = img_dev.at[tyd, txd].set(img_dev[jnp.asarray(by), jnp.asarray(bx)])
-                rem_dev = rem_dev.at[tyd, txd].set(0.0)
-                remained[ty[:t], tx[:t]] = 0
-        filled = np.clip(np.asarray(img_dev), 0, 255).astype(np.uint8)
-        return filled, total_energy
+        filled, energy = _fill_pass_device(
+            jnp.asarray(image), jnp.asarray((mask > 0).astype(np.float32)),
+            jnp.asarray(weight.astype(np.float32)), h, w, initial)
+        energy = float(energy)
+        if energy < 0:
+            return image, -1.0  # exemplar not found (:308-311) — discard
+        # np.array copy: np.asarray of a jax array is read-only and the
+        # level loop mutates the pyramid levels in place
+        return np.array(filled), energy
 
     def apply(self, src, mask) -> np.ndarray:
         """(H, W, 3) u8 image + (H, W) u8 mask (hole > 0) → (H, W, 3) u8."""
