@@ -137,6 +137,13 @@ extern "C" {
 // root for every component.  Components are visited in id (raster) order;
 // a component smaller than min_area merges into the adjacent region whose
 // mean color is closest (L scaled by 2.55, ties to the lowest id).
+// Known divergence (statistical parity budget): the reference keeps its
+// running minimum in an int (slic.hpp:440 truncates each distance on
+// assignment) and iterates neighbors in flood-fill discovery order, so
+// neighbors whose distances share the same integer floor can merge
+// differently there; this exact-double/lowest-id rule matches the Python
+// fallback (models/slic.py enforce_connectivity), keeping native and
+// fallback outputs identical to each other.
 // ---------------------------------------------------------------------------
 void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
                     const int64_t* means, const int64_t* sizes,

@@ -11,6 +11,13 @@ race-free k-means:
   *persistent* distance map (the reference's map carries across iterations —
   quirk preserved).  Tie-breaks match: strictly-smaller wins, so the lowest
   center index wins ties, like the reference's ascending center loop.
+  **Bounded-drift assumption**: the reference scans the ±S window around each
+  center's *current* position (:243-246); the 3×3 home-cell gather covers the
+  same candidate set only while every center stays within ~one cell of its
+  home cell.  Centers are seeded at cell centers and each k-means step pulls
+  them toward their (cell-local) pixel mass, so drift beyond a cell is not
+  observed in practice; parity with the reference is statistical either way
+  (PARITY.md D3).
 - **center means**: segment sums with integer truncation (the reference's
   ClusterCenter fields are ints, :273-277).  A center that loses all its
   pixels keeps its previous state (the reference divides by zero — UB).
@@ -344,8 +351,7 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
 
     final = np.array([find(c) for c in range(ncomp)])
     # compact to consecutive ids in raster order of the merged regions
-    uniq, inverse = np.unique(final[comp.reshape(-1)], return_inverse=True)
-    remap = {u: i for i, u in enumerate(uniq)}
+    _, inverse = np.unique(final[comp.reshape(-1)], return_inverse=True)
     return inverse.reshape(h, w).astype(np.int32)
 
 
