@@ -53,19 +53,50 @@ def test_spatially_sharded_bilateral_bit_exact(spatial):
     np.testing.assert_array_equal(out, single)
 
 
-def test_mixed_mesh_batch_and_spatial():
-    # 4 batch × 2 spatial: batch fan-out of spatially-sharded images
-    imgs = batch_images(4, 32, 32)
-    mesh = make_mesh(batch=4, spatial=2)
-    outs = []
-    for i in range(4):  # spatial sharding per image on the sub-axis
-        outs.append(np.asarray(bilateral_filter_sharded(
-            imgs[i], 9, 10.0, 30.0,
-            mesh=make_mesh(batch=1, spatial=2,
-                           devices=mesh.devices[i].tolist()), impl="xla")))
-    for i in range(4):
+@pytest.mark.parametrize("batch,spatial,b", [(4, 2, 4), (2, 4, 6)])
+def test_mixed_mesh_batch_and_spatial_one_program(batch, spatial, b):
+    # ONE shard_map over BOTH mesh axes: batch shards images, spatial shards
+    # each image's rows with ppermute halo exchange, in a single program
+    from various_image_processings_tpu.parallel import bilateral_filter_batch_spatial
+    imgs = batch_images(b, 32, 32)
+    mesh = make_mesh(batch=batch, spatial=spatial)
+    out = np.asarray(bilateral_filter_batch_spatial(
+        imgs, 9, 10.0, 30.0, mesh=mesh, impl="xla"))
+    for i in range(b):
         single = np.asarray(bilateral_filter(imgs[i], impl="xla"))
-        np.testing.assert_array_equal(outs[i], single)
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_joint_bilateral_batched_and_sharded():
+    from various_image_processings_tpu.parallel import (
+        joint_bilateral_filter_batched, joint_bilateral_filter_sharded)
+    from various_image_processings_tpu.ops.bilateral import joint_bilateral_filter
+    imgs = batch_images(4, 40, 40)
+    guides = batch_images(4, 40, 40)[::-1].copy()
+    mesh = make_mesh(batch=4, spatial=1)
+    out = np.asarray(joint_bilateral_filter_batched(
+        imgs, guides, 9, 10.0, 30.0, mesh=mesh, impl="xla"))
+    for i in range(4):
+        single = np.asarray(joint_bilateral_filter(
+            imgs[i], guides[i], 9, 10.0, 30.0, impl="xla"))
+        np.testing.assert_array_equal(out[i], single)
+
+    sp_mesh = make_mesh(batch=1, spatial=4)
+    sh = np.asarray(joint_bilateral_filter_sharded(
+        imgs[0], guides[0], 9, 10.0, 30.0, mesh=sp_mesh, impl="xla"))
+    single = np.asarray(joint_bilateral_filter(
+        imgs[0], guides[0], 9, 10.0, 30.0, impl="xla"))
+    np.testing.assert_array_equal(sh, single)
+
+
+def test_joint_bilateral_parallel_shape_mismatch():
+    from various_image_processings_tpu.parallel import (
+        joint_bilateral_filter_batched, joint_bilateral_filter_sharded)
+    imgs = batch_images(4, 40, 40)
+    with pytest.raises(ValueError, match="differ"):
+        joint_bilateral_filter_batched(imgs, imgs[:, :32], impl="xla")
+    with pytest.raises(ValueError, match="differ"):
+        joint_bilateral_filter_sharded(imgs[0], imgs[0][:32], impl="xla")
 
 
 def test_sharded_abf_and_gradient_bit_exact():
@@ -82,22 +113,18 @@ def test_sharded_abf_and_gradient_bit_exact():
     np.testing.assert_array_equal(g, np.asarray(gradient(img, impl="xla")))
 
 
-def test_sharded_btf_interior_exact():
+@pytest.mark.parametrize("spatial,nitr", [(2, 1), (4, 3)])
+def test_sharded_btf_bit_exact(spatial, nitr):
+    # per-stage halo exchange keeps even the GLOBAL boundary bands exact
     from various_image_processings_tpu.parallel.spatial import (
         bilateral_texture_filter_sharded)
     from various_image_processings_tpu.ops.bilateral_texture import bilateral_texture_filter
     img = batch_images(1, 128, 48)[0]
-    mesh = make_mesh(batch=1, spatial=2)
-    out = np.asarray(bilateral_texture_filter_sharded(img, ksize=5, nitr=1,
+    mesh = make_mesh(batch=1, spatial=spatial)
+    out = np.asarray(bilateral_texture_filter_sharded(img, ksize=5, nitr=nitr,
                                                       mesh=mesh, impl="xla"))
-    single = np.asarray(bilateral_texture_filter(img, 5, 1, impl="xla"))
-    halo = 1 * (3 * 2 + 5)
-    # interior rows (incl. the shard seam at row 64) are bit-identical;
-    # only the global top/bottom halo bands may differ (multi-stage
-    # pipelines don't commute with pre-padding — see the op's docstring)
-    np.testing.assert_array_equal(out[halo:-halo], single[halo:-halo])
-    edge_diff = np.abs(out.astype(int) - single.astype(int))
-    assert edge_diff.max() <= 40  # boundary-band divergence stays bounded
+    single = np.asarray(bilateral_texture_filter(img, 5, nitr, impl="xla"))
+    np.testing.assert_array_equal(out, single)
 
 
 def test_batched_abf_and_gradient():

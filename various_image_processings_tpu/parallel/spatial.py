@@ -46,7 +46,7 @@ def halo_exchange_rows(block: jax.Array, radius: int, axis_name: str,
 
 
 def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
-                          out_ndim: int | None = None):
+                          out_ndim: int | None = None, extras=()):
     """Run a replicate-padded stencil op on a row-sharded image.
 
     fn_full: the single-device op ((H', W, C) → output with leading row dim,
@@ -54,7 +54,9 @@ def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
     its rows plus exchanged halos, runs fn_full on the extended block, and
     crops the halo back off — exact for any op whose output pixel depends
     only on the (2r+1)² input window.  out_ndim: rank of fn_full's output
-    (defaults to the image's rank).
+    (defaults to the image's rank).  extras: additional row-aligned arrays
+    (e.g. a guide image) sharded and halo-exchanged the same way, passed to
+    fn_full after the image.
     """
     d = mesh.shape[SPATIAL_AXIS]
     h = image.shape[0]
@@ -63,16 +65,20 @@ def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
     if h // d < radius:
         raise ValueError(f"shard height {h // d} smaller than halo {radius}")
     spec = P(SPATIAL_AXIS, *([None] * (image.ndim - 1)))
+    in_specs = (spec,) + tuple(
+        P(SPATIAL_AXIS, *([None] * (e.ndim - 1))) for e in extras)
     out_spec = P(SPATIAL_AXIS, *([None] * ((out_ndim or image.ndim) - 1)))
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
                        out_specs=out_spec, check_vma=False)
-    def run(local):
+    def run(local, *local_extras):
         padded = halo_exchange_rows(local, radius, SPATIAL_AXIS, d)
-        out = fn_full(padded)
+        padded_extras = [halo_exchange_rows(e, radius, SPATIAL_AXIS, d)
+                         for e in local_extras]
+        out = fn_full(padded, *padded_extras)
         return out[radius : radius + local.shape[0]]
 
-    return run(image)
+    return run(image, *extras)
 
 
 def _default_mesh(mesh):
@@ -95,6 +101,25 @@ def bilateral_filter_sharded(image, ksize: int = 9, sigma_space: float = 10.0,
     fn = lambda blk: _bf_jit(blk, int(ksize), float(sigma_space),
                              float(sigma_color), impl)
     return stencil_apply_sharded(fn, image, radius, mesh)
+
+
+def joint_bilateral_filter_sharded(image, guide, ksize: int = 9,
+                                   sigma_space: float = 10.0,
+                                   sigma_color: float = 30.0,
+                                   mesh: Mesh | None = None,
+                                   impl: str = "auto"):
+    """Row-sharded joint bilateral filter: image and guide shard together,
+    both halo-exchanged. Bit-identical to the single-device op."""
+    from ..ops.bilateral import _jbf_jit
+    from ..ops._dispatch import resolve_impl
+    mesh = _default_mesh(mesh)
+    impl = resolve_impl(impl)
+    if image.shape[:2] != guide.shape[:2]:
+        raise ValueError("image and guide sizes differ")
+    radius = ksize // 2
+    fn = lambda blk, gd: _jbf_jit(blk, gd, int(ksize), float(sigma_space),
+                                  float(sigma_color), impl)
+    return stencil_apply_sharded(fn, image, radius, mesh, extras=(guide,))
 
 
 def adaptive_bilateral_filter_sharded(image, ksize: int = 9,
@@ -127,22 +152,68 @@ def gradient_sharded(image, mesh: Mesh | None = None, impl: str = "auto"):
 def bilateral_texture_filter_sharded(image, ksize: int = 9, nitr: int = 3,
                                      mesh: Mesh | None = None,
                                      impl: str = "auto"):
-    """Row-sharded bilateral texture filter.
+    """Row-sharded bilateral texture filter, bit-identical everywhere.
 
-    Each BTF iteration widens the dependency footprint — gradient (1) +
-    blur/mRTV (r) + guide (r) + JBF (k−1) per iteration — so the halo is
-    nitr·(3r + k) rows (conservative).  Interior rows and shard seams are
-    bit-identical to the single-device op.  The outermost ~(3r+k)·nitr rows
-    at the GLOBAL image top/bottom can differ by a few levels: a multi-stage
-    pipeline does not commute with pre-padding (stage 2 of a replicate-padded
-    input ≠ replicate-padding stage 2), so boundary devices see slightly
-    different virtual rows than the single-device op's per-stage clamping.
-    Single-stage ops (bilateral/ABF/gradient) are exact everywhere."""
-    from ..ops.bilateral_texture import _btf_jit
-    from ..ops._dispatch import resolve_impl
+    A multi-stage pipeline does not commute with one-shot pre-padding (stage
+    2 of a replicate-padded input ≠ replicate-padding stage 2's output), so
+    instead of pre-padding the whole nitr pipeline this exchanges halos
+    PER STAGE inside one shard_map body: gradient (halo 1), blur+mRTV (r),
+    guide (r), joint bilateral (k−1), each on the freshly exchanged rows.
+    ``halo_exchange_rows`` replicates the current stage's own edge rows at
+    the global top/bottom — exactly the single-device op's per-stage
+    clamping — so every row, including the global boundary bands, matches
+    the single-device op bit-for-bit.
+
+    The stages run the xla math (parity-identical to the Pallas stages —
+    both are pinned bit-exact to golden/); shard_map around Pallas custom
+    calls costs ~40× on the current runtime, so ``impl`` only affects the
+    single-device fallback path.
+    """
+    import math
+
+    from ..ops.bilateral import _bilateral_math
+    from ..ops.bilateral_texture import _blur_and_rtv_math, _guide_math
+    from ..ops.gradient import _gradient_math
+
     mesh = _default_mesh(mesh)
-    impl = resolve_impl(impl)
+    d = mesh.shape[SPATIAL_AXIS]
     radius = ksize // 2
-    halo = nitr * (3 * radius + ksize)
-    fn = lambda blk: _btf_jit(blk, int(ksize), int(nitr), impl)
-    return stencil_apply_sharded(fn, image, halo, mesh)
+    jbf_ksize = 2 * ksize - 1
+    jbf_radius = jbf_ksize // 2
+    jbf_sigma_space = float(ksize - 1)
+    jbf_sigma_color = float(math.sqrt(3.0))
+    h = image.shape[0]
+    if h % d != 0:
+        raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
+    if h // d < max(1, radius, jbf_radius):
+        raise ValueError(
+            f"shard height {h // d} smaller than the widest stage halo "
+            f"{max(1, radius, jbf_radius)}")
+    spec = P(SPATIAL_AXIS, None, None)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_vma=False)
+    def run(local):
+        hl = local.shape[0]
+
+        def stage(fn, r, *arrays):
+            ext = [halo_exchange_rows(a, r, SPATIAL_AXIS, d) for a in arrays]
+            out = fn(*ext)
+            return jax.tree_util.tree_map(lambda o: o[r : r + hl], out)
+
+        def iteration(_, img_u8):
+            img_f = img_u8.astype(jnp.float32)
+            magnitude = stage(_gradient_math, 1, img_f)
+            blurred, rtv = stage(
+                lambda i, m: _blur_and_rtv_math(i, m, ksize), radius,
+                img_f, magnitude)
+            guide = stage(lambda b, r_: _guide_math(b, r_, ksize), radius,
+                          blurred, rtv)
+            return stage(
+                lambda i, g: _bilateral_math(i, g, jbf_ksize, jbf_sigma_space,
+                                             jbf_sigma_color),
+                jbf_radius, img_f, guide)
+
+        return jax.lax.fori_loop(0, nitr, iteration, local, unroll=False)
+
+    return run(image)
