@@ -11,9 +11,12 @@ from .batch import bilateral_filter_batched as bilateral_filter_batched
 from .batch import bilateral_texture_filter_batched as bilateral_texture_filter_batched
 from .batch import adaptive_bilateral_filter_batched as adaptive_bilateral_filter_batched
 from .batch import gradient_batched as gradient_batched
+from .batch import joint_bilateral_filter_batched as joint_bilateral_filter_batched
+from .batch import bilateral_filter_batch_spatial as bilateral_filter_batch_spatial
 from .spatial import halo_exchange_rows as halo_exchange_rows
 from .spatial import stencil_apply_sharded as stencil_apply_sharded
 from .spatial import bilateral_filter_sharded as bilateral_filter_sharded
 from .spatial import adaptive_bilateral_filter_sharded as adaptive_bilateral_filter_sharded
 from .spatial import gradient_sharded as gradient_sharded
 from .spatial import bilateral_texture_filter_sharded as bilateral_texture_filter_sharded
+from .spatial import joint_bilateral_filter_sharded as joint_bilateral_filter_sharded

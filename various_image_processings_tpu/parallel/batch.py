@@ -134,3 +134,92 @@ def adaptive_bilateral_filter_batched(images, ksize: int = 9,
 def gradient_batched(images, mesh: Mesh | None = None, impl: str = "auto"):
     """(B, H, W[, C]) u8|f32 → (B, H, W) f32, batch-sharded over the mesh."""
     return _dispatch_batched("gradient", (), images, mesh, impl)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_jbf_runner(params: tuple, impl: str):
+    import jax.numpy as jnp
+
+    from ..ops.bilateral import _jbf_jit
+
+    @jax.jit
+    def run(local, local_guide):
+        return jnp.stack([_jbf_jit(local[i], local_guide[i], *params, impl)
+                          for i in range(local.shape[0])])
+
+    return run
+
+
+def joint_bilateral_filter_batched(images, guides, ksize: int = 9,
+                                   sigma_space: float = 10.0,
+                                   sigma_color: float = 30.0,
+                                   mesh: Mesh | None = None,
+                                   impl: str = "auto"):
+    """(B, H, W, 3) u8 images + guides → (B, H, W, 3) u8, batch-sharded."""
+    from ..ops._dispatch import resolve_impl
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh()
+    impl = resolve_impl(impl)
+    if images.shape != guides.shape:
+        raise ValueError("images and guides shapes differ")
+    nbatch = mesh.shape[BATCH_AXIS]
+    if images.shape[0] % nbatch != 0:
+        raise ValueError(
+            f"batch {images.shape[0]} not divisible by mesh batch axis {nbatch}")
+    runner = _cached_jbf_runner(
+        (int(ksize), float(sigma_space), float(sigma_color)), impl)
+    if nbatch == 1:
+        return runner(images, guides)
+    spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
+    return shard_map(runner, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=P(BATCH_AXIS), check_vma=False)(images, guides)
+
+
+def bilateral_filter_batch_spatial(images, ksize: int = 9,
+                                   sigma_space: float = 10.0,
+                                   sigma_color: float = 30.0,
+                                   mesh: Mesh | None = None,
+                                   impl: str = "auto"):
+    """(B, H, W, 3) u8 → (B, H, W, 3) u8 over BOTH mesh axes in ONE program:
+    the batch shards over the mesh's batch axis and each image's rows shard
+    over the spatial axis, with ppermute halo exchange along spatial rings.
+    Bit-identical to the single-device op (the 2-axis mesh story the
+    reference has no counterpart for)."""
+    import jax.numpy as jnp
+
+    from ..ops.bilateral import _bf_jit
+    from ..ops._dispatch import resolve_impl
+    from .mesh import SPATIAL_AXIS
+    from .spatial import halo_exchange_rows
+
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh()
+    impl = resolve_impl(impl)
+    nbatch = mesh.shape[BATCH_AXIS]
+    d = mesh.shape[SPATIAL_AXIS]
+    b, h = images.shape[0], images.shape[1]
+    if b % nbatch != 0:
+        raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
+    if h % d != 0:
+        raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
+    radius = int(ksize) // 2
+    if h // d < radius:
+        raise ValueError(f"shard height {h // d} smaller than halo {radius}")
+    spec = P(BATCH_AXIS, SPATIAL_AXIS, None, None)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_vma=False)
+    def run(local):  # (b_local, h_local, W, 3)
+        def one(img_rows):
+            padded = halo_exchange_rows(img_rows, radius, SPATIAL_AXIS, d)
+            out = _bf_jit(padded, int(ksize), float(sigma_space),
+                          float(sigma_color), impl)
+            return out[radius : radius + img_rows.shape[0]]
+
+        # uniform local batch size on every device → the ppermutes inside
+        # the loop stay collective-uniform across the mesh
+        return jnp.stack([one(local[i]) for i in range(local.shape[0])])
+
+    return run(images)
