@@ -15,6 +15,11 @@
 //   guide      in(H*W*3 f32 blurred + H*W f32 rtv) out(H*W*3 u8)  args: ksize
 //   slic       in(H*W*3 u8) out(H*W i32)    args: S nitr color_scale
 //   integral   in(H*W*3 u8) out((H+2r+1)*(W+2r+1)*3 i32)  args: radius
+//   btf        in(H*W*3 u8) out(H*W*3 u8)   args: ksize nitr   (cpp path,
+//              cv::ximgproc::jointBilateralFilter)
+//   wexler     in(H*W*3 u8 src + H*W u8 mask) out(H*W*3 u8)
+//   wexler_contour  in(H*W*3 u8 src + H*W u8 mask)
+//              out(N*3 i32: x, y, priority in pop order) — N = contour length
 
 #include <cstdint>
 #include <cstdio>
@@ -34,6 +39,16 @@ namespace btf_internal {
 // pull just the stage internals by including it with a stub if missing.
 }
 #include "cpp/bilateral_texture_filter.hpp"
+
+// Wexler's contour/priority internals are private; the parity test needs to
+// observe them directly, so this test-only TU flattens access control (all
+// dependency headers are fully included above, so the define only affects
+// the reference header itself).
+#include <algorithm>
+#include <queue>
+#define private public
+#include "cpp/wexler_inpainting.hpp"
+#undef private
 
 static std::vector<uint8_t> read_file(const char* path) {
     FILE* f = std::fopen(path, "rb");
@@ -127,6 +142,40 @@ int main(int argc, char** argv) {
                 for (int c = 0; c < 3; c++) sums[((size_t)y * w + x) * 3 + c] = v[c];
             }
         write_file(out_path, sums.data(), sums.size() * 4);
+    } else if (op == "btf") {
+        // full cpp-path pipeline incl. cv::ximgproc::jointBilateralFilter
+        // (reference include/cpp/bilateral_texture_filter.hpp:153-164)
+        const int ksize = argc > 6 ? std::atoi(argv[6]) : 9;
+        const int nitr = argc > 7 ? std::atoi(argv[7]) : 3;
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        cv::Mat3b dst;
+        bilateral_texture_filter(src, dst, ksize, nitr);
+        write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "wexler") {
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        cv::Mat1b mask(h, w, (uint8_t*)(in.data() + (size_t)h * w * 3));
+        cv::Mat3b dst;
+        inpainting_wexler(src, mask, dst);
+        write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "wexler_contour") {
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        cv::Mat1b mask(h, w, (uint8_t*)(in.data() + (size_t)h * w * 3));
+        WexlerInpaintingImpl impl(src, mask);  // ctor runs the fill (small)
+        // first masked pixel in raster order (reference :283-296)
+        int sx = -1, sy = -1;
+        for (int y = 0; y < h && sx < 0; y++)
+            for (int x = 0; x < w; x++)
+                if (mask(y, x) > 0) { sx = x; sy = y; break; }
+        auto q = impl.extract_mask_contour_with_priority(mask, sx, sy);
+        std::vector<int32_t> out;
+        while (!q.empty()) {
+            const auto& [prio, pt] = q.top();
+            out.push_back(pt.x);
+            out.push_back(pt.y);
+            out.push_back(prio);
+            q.pop();
+        }
+        write_file(out_path, out.data(), out.size() * 4);
     } else {
         std::fprintf(stderr, "unknown op %s\n", op.c_str());
         return 1;
