@@ -134,10 +134,11 @@ def test_slic_quality_vs_reference(oracle):
     ours = np.asarray(superpixel_slic(img, 32, 10, 20.0))
 
     # the reference's post-merge label ids are sparse (relabeling leaves
-    # gaps); count distinct labels
+    # gaps); count distinct labels.  Measured 2026-08-16 (exact-Lab +
+    # 5×5 gather + in-scan means): ours 123 vs ref 123
     n_ref = len(np.unique(ref))
     n_ours = len(np.unique(ours))
-    assert abs(int(n_ours) - int(n_ref)) <= max(10, 0.35 * n_ref)
+    assert abs(int(n_ours) - int(n_ref)) <= 0.15 * n_ref
 
     def boundary(lbl):
         b = np.zeros(lbl.shape, bool)
@@ -147,10 +148,10 @@ def test_slic_quality_vs_reference(oracle):
 
     b_ref = boundary(ref)
     b_ours = boundary(ours)
-    # boundary recall within 2px: most reference boundaries near ours
+    # boundary recall within 2px (measured 0.944; 1px recall 0.92)
     from scipy.ndimage import binary_dilation
     recall = (b_ref & binary_dilation(b_ours, iterations=2)).sum() / max(b_ref.sum(), 1)
-    assert recall > 0.7
+    assert recall > 0.85
 
 
 def test_btf_vs_cpp_path(oracle):

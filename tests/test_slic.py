@@ -64,7 +64,9 @@ def test_labels_cover_all_pixels_and_are_connected(lenna):
     labels = superpixel_slic(small, superpixel_size=16, num_iteration=5)
     assert labels.min() >= 0
     n = labels.max() + 1
-    assert 30 <= n <= 120  # ~64 cells expected, merges/splits allowed
+    # ~64 cells expected, merges/splits allowed; the reference itself
+    # produces 131 on this config (ref_oracle slic, measured 2026-08-16)
+    assert 30 <= n <= 150
     # connectivity: each label is one 4-connected component
     comp, sizes, ncomp = _components(labels)
     assert ncomp == n
@@ -83,6 +85,20 @@ def test_enforce_connectivity_merges_small_island():
     # the island must be merged away; the big region must persist
     comp, sizes, ncomp = _components(out)
     assert sizes.min() >= 45 or ncomp <= 2
+
+
+def test_bgr2lab_exact_matches_opencv_exhaustively():
+    """bgr2lab_u8_exact must equal cv2.cvtColor on ALL 2²⁴ BGR colors —
+    SLIC's parity with the reference hinges on bit-exact Lab codes."""
+    cv2 = pytest.importorskip("cv2")
+    from various_image_processings_tpu.core.colors import bgr2lab_u8_exact
+    all_colors = np.arange(1 << 24, dtype=np.uint32)
+    img = np.stack([(all_colors & 255), (all_colors >> 8) & 255,
+                    (all_colors >> 16) & 255],
+                   axis=-1).astype(np.uint8).reshape(4096, 4096, 3)
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    ours = bgr2lab_u8_exact(img)
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_slic_shape_validation():

@@ -1,13 +1,19 @@
 """Color conversions.
 
-``bgr2lab_u8`` mirrors OpenCV's 8-bit BGR→Lab (D65, sRGB gamma, L scaled to
-0..255, a/b offset by 128) used by the reference's SLIC init
-(include/cpp/slic.hpp:166).  OpenCV's u8 path runs through fixed-point LUTs;
-this float implementation agrees within ±1 code on almost all pixels (SLIC's
-parity criterion is segmentation quality, not bit-exact Lab — SURVEY.md §7).
+``bgr2lab_u8_exact`` is a bit-exact NumPy twin of OpenCV's fixed-point 8-bit
+BGR→Lab (the conversion the reference's SLIC init calls,
+include/cpp/slic.hpp:166): sRGB gamma and cube-root LUTs built in f32 with
+round-half-to-even, 12-bit integer XYZ coefficients over the D65 white
+point, and CV_DESCALE rounding shifts — verified equal to ``cv2.cvtColor``
+on ALL 2²⁴ colors (tests/test_slic.py).
+
+``bgr2lab_u8`` is the float/jax device variant (agrees within ±1 code);
+kept for device-resident pipelines.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -45,3 +51,60 @@ def bgr2lab_u8(bgr_u8) -> jnp.ndarray:
 def bgr2lab_u8_np(bgr_u8: np.ndarray) -> np.ndarray:
     """NumPy twin (used by the golden SLIC replica)."""
     return np.asarray(bgr2lab_u8(bgr_u8))
+
+
+_GAMMA_SHIFT = 3
+_LAB_SHIFT = 12
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT
+
+
+@functools.cache
+def _lab_tables():
+    """OpenCV initLabTabs() twin: tables built in float32 with
+    round-half-to-even (cvRound), exactly like modules/imgproc/color_lab.cpp."""
+    f32 = np.float32
+    i = np.arange(256, dtype=np.float32)
+    x = i * f32(1.0 / 255.0)
+    g = np.where(x <= f32(0.04045), x / f32(12.92),
+                 np.power((x + f32(0.055)) / f32(1.055), f32(2.4),
+                          dtype=np.float32))
+    gamma_tab = np.rint(f32(255.0 * (1 << _GAMMA_SHIFT)) * g).astype(np.int64)
+
+    tab_len = 256 * 3 // 2 * (1 << _GAMMA_SHIFT)
+    j = np.arange(tab_len, dtype=np.float32)
+    xx = j * f32(1.0 / (255.0 * (1 << _GAMMA_SHIFT)))
+    fv = np.where(xx < f32(0.008856),
+                  xx * f32(7.787) + f32(0.13793103448275862),
+                  np.cbrt(xx, dtype=np.float32))
+    cbrt_tab = np.rint(f32(1 << _LAB_SHIFT2) * fv).astype(np.int64)
+
+    d65 = np.array([0.950456, 1.0, 1.088754])
+    m = np.array([[0.412453, 0.357580, 0.180423],
+                  [0.212671, 0.715160, 0.072169],
+                  [0.019334, 0.119193, 0.950227]])
+    coeffs = np.rint(m * (1 << _LAB_SHIFT) / d65[:, None]).astype(np.int64)
+    return gamma_tab, cbrt_tab, coeffs
+
+
+def bgr2lab_u8_exact(bgr_u8: np.ndarray) -> np.ndarray:
+    """(..., 3) u8 BGR → (..., 3) u8 Lab, bit-identical to
+    ``cv2.cvtColor(img, cv2.COLOR_BGR2Lab)`` (verified on all 2²⁴ colors)."""
+    gamma_tab, cbrt_tab, c = _lab_tables()
+
+    def descale(v, n):
+        return (v + (1 << (n - 1))) >> n
+
+    img = np.asarray(bgr_u8)
+    b = gamma_tab[img[..., 0].astype(np.int64)]
+    g = gamma_tab[img[..., 1].astype(np.int64)]
+    r = gamma_tab[img[..., 2].astype(np.int64)]
+    fx = cbrt_tab[descale(r * c[0, 0] + g * c[0, 1] + b * c[0, 2], _LAB_SHIFT)]
+    fy = cbrt_tab[descale(r * c[1, 0] + g * c[1, 1] + b * c[1, 2], _LAB_SHIFT)]
+    fz = cbrt_tab[descale(r * c[2, 0] + g * c[2, 1] + b * c[2, 2], _LAB_SHIFT)]
+    lscale = (116 * 255 + 50) // 100
+    lshift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+    lum = descale(lscale * fy + lshift, _LAB_SHIFT2)
+    a = descale(500 * (fx - fy) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    bb = descale(200 * (fy - fz) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    out = np.stack([lum, a, bb], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)

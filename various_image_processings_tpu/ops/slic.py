@@ -8,12 +8,16 @@ from __future__ import annotations
 
 
 def superpixel_slic(image, superpixel_size: int = 30, num_iteration: int = 10,
-                    color_scale: float = 20.0, metric: str = "euclidean",
-                    impl: str = "auto"):
+                    color_scale: float = 20.0, metric: str = "euclidean"):
     """(H, W, 3) u8 BGR → (H, W) int32 superpixel labels.
 
     metric: "euclidean" (the reference default, L scaled by 2.55) or
-    "ciede2000" (carried by the reference but never selectable there)."""
+    "ciede2000" (carried by the reference but never selectable there).
+
+    Unlike the stencil ops there is no ``impl`` parameter: the device stage
+    is a pure-XLA k-means program (gathers/segment reductions, nothing a
+    hand-written Pallas kernel would beat), and the connectivity stage runs
+    in native C++ on the host."""
     from ..models.slic import SuperpixelSLIC
     h, w = image.shape[0], image.shape[1]
     slic = SuperpixelSLIC(h, w, superpixel_size, num_iteration, color_scale,
