@@ -89,6 +89,35 @@ def test_joint_bilateral_batched_and_sharded():
     np.testing.assert_array_equal(sh, single)
 
 
+def test_slic_batched_matches_per_image():
+    from various_image_processings_tpu.parallel import superpixel_slic_batched
+    from various_image_processings_tpu.ops.slic import superpixel_slic
+    imgs = batch_images(4, 48, 48)
+    mesh = make_mesh(batch=4, spatial=1)
+    out = superpixel_slic_batched(imgs, superpixel_size=16, num_iteration=3,
+                                  mesh=mesh)
+    assert out.shape == (4, 48, 48)
+    for i in range(4):
+        single = np.asarray(superpixel_slic(imgs[i], 16, 3))
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_wexler_batched_matches_per_image():
+    from various_image_processings_tpu.parallel import inpainting_wexler_batched
+    from various_image_processings_tpu.ops.inpainting import inpainting_wexler
+    size = 48
+    img = np.zeros((size, size, 3), np.uint8)
+    img[:, :, :] = ((np.arange(size) // 4) % 2 * 180 + 40).astype(np.uint8)[None, :, None]
+    imgs = np.stack([img, img[:, ::-1]])
+    mask = np.zeros((size, size), np.uint8)
+    mask[20:26, 20:26] = 255
+    masks = np.stack([mask, mask])
+    out = inpainting_wexler_batched(imgs, masks)
+    for i in range(2):
+        single = np.asarray(inpainting_wexler(imgs[i], masks[i]))
+        np.testing.assert_array_equal(out[i], single)
+
+
 def test_joint_bilateral_parallel_shape_mismatch():
     from various_image_processings_tpu.parallel import (
         joint_bilateral_filter_batched, joint_bilateral_filter_sharded)

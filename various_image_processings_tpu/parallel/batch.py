@@ -176,6 +176,66 @@ def joint_bilateral_filter_batched(images, guides, ksize: int = 9,
                      out_specs=P(BATCH_AXIS), check_vma=False)(images, guides)
 
 
+def superpixel_slic_batched(images, superpixel_size: int = 30,
+                            num_iteration: int = 10, color_scale: float = 20.0,
+                            metric: str = "euclidean", mesh: Mesh | None = None):
+    """(B, H, W, 3) u8 BGR → (B, H, W) i32 labels.
+
+    The device k-means runs as ONE vmapped XLA program over the whole batch
+    (jax batches the early-exit while_loop with per-image masking, so each
+    image stops updating exactly when its single-image run would); the
+    host-side connectivity stage (native C++ CCL + merge) loops per image.
+    With a multi-device mesh the batch shards over the batch axis."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.colors import bgr2lab_u8_exact
+    from ..models.slic import slic_device, enforce_connectivity
+
+    images = np.asarray(images)
+    b, h, w = images.shape[:3]
+    lab = bgr2lab_u8_exact(images)                       # (B, H, W, 3)
+    device_fn = jax.vmap(lambda x: slic_device(
+        x, h, w, int(superpixel_size), int(num_iteration),
+        float(color_scale), metric)[0])
+
+    if mesh is not None and mesh.shape[BATCH_AXIS] > 1:
+        nbatch = mesh.shape[BATCH_AXIS]
+        if b % nbatch != 0:
+            raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
+        spec = P(BATCH_AXIS, None, None, None)
+        labels_dev = shard_map(device_fn, mesh=mesh, in_specs=(spec,),
+                               out_specs=P(BATCH_AXIS), check_vma=False)(
+                                   jnp.asarray(lab))
+    else:
+        labels_dev = device_fn(jnp.asarray(lab))
+    labels_np = np.asarray(labels_dev)
+    return np.stack([enforce_connectivity(labels_np[i], lab[i],
+                                          int(superpixel_size), metric)
+                     for i in range(b)])
+
+
+def inpainting_wexler_batched(images, masks, **kwargs):
+    """(B, H, W, 3) u8 + (B, H, W) u8 masks → (B, H, W, 3) u8 fills.
+
+    Sequential per image by design: each image's fill pass is already a
+    whole-chip XLA program (a lax.while_loop of full-image MXU searches), so
+    intra-chip batching would only interleave rings of unrelated holes; on a
+    multi-chip deployment, fan images out one-per-chip instead (the fills
+    share no state)."""
+    import numpy as np
+
+    from ..models.inpainting import WexlerInpainting
+
+    images = np.asarray(images)
+    masks = np.asarray(masks)
+    if images.shape[:1] != masks.shape[:1]:
+        raise ValueError("images and masks batch sizes differ")
+    model = WexlerInpainting(**kwargs)
+    return np.stack([model.apply(images[i], masks[i])
+                     for i in range(images.shape[0])])
+
+
 def bilateral_filter_batch_spatial(images, ksize: int = 9,
                                    sigma_space: float = 10.0,
                                    sigma_color: float = 30.0,
