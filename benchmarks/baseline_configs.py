@@ -1,19 +1,23 @@
-"""Run the five BASELINE.md benchmark configs on the current device and
-print a JSON report.  (bench.py is the one-line headline; this is the full
-matrix for the judge / regression tracking.)
+"""Run the five BASELINE.md benchmark configs on the current device, print a
+JSON report, and write it to BENCH_DETAILS.json at the repo root (bench.py is
+the one-line headline; this is the full matrix for the judge / round-over-
+round regression diffing).
 
 Configs (BASELINE.json):
 1. bilateral filter, lenna.png 512², radius 9
 2. gradient + adaptive bilateral, lenna.png
-3. bilateral texture filter, 3 iters, mosaic_cat.png 900×600
+3. bilateral texture filter, 3 iters, mosaic_cat.png 900×600 (+ batched)
 4. SLIC k≈400 (S=26 on 512²), lenna.png, 10 iterations
 5. Wexler inpainting mosaic_dog.png (synthetic 64×64 hole — the repo ships
-   no mask) + batched 64×4K bilateral throughput
+   no mask) + batched 64×4K bilateral throughput (the full BASELINE.md
+   config: ~1.6 GB in + out, built on-device so it never crosses the host
+   link)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -52,7 +56,10 @@ def main():
     dl = jax.device_put(jnp.asarray(lenna))
     px = lenna.shape[0] * lenna.shape[1]
 
-    dt = timed_chain(lambda x: vip.bilateral_filter(x, 9, 10.0, 30.0), dl)
+    # 512² ops are ~0.2-0.7 ms/call: chains must be long enough that the
+    # slope dwarfs the tunnel round-trip variance (±1-2 ms per timing)
+    dt = timed_chain(lambda x: vip.bilateral_filter(x, 9, 10.0, 30.0), dl,
+                     iters=256)
     oracle = cv2.bilateralFilter(lenna, 9, 30.0, 10.0, borderType=cv2.BORDER_REPLICATE)
     out = np.asarray(vip.bilateral_filter(dl, 9, 10.0, 30.0))
     report["config1_bilateral_lenna"] = {
@@ -64,8 +71,9 @@ def main():
     # (the cast adds ~1 ms at 4K; at 512² it is noise)
     dt_g = timed_chain(
         lambda x: jnp.clip(vip.gradient(x)[:, :, None], 0, 255)
-        .astype(jnp.uint8).repeat(3, 2), dl)
-    dt_a = timed_chain(lambda x: vip.adaptive_bilateral_filter(x, 9, 10.0, 30.0), dl)
+        .astype(jnp.uint8).repeat(3, 2), dl, iters=256)
+    dt_a = timed_chain(lambda x: vip.adaptive_bilateral_filter(x, 9, 10.0, 30.0),
+                       dl, iters=256)
     report["config2_gradient_abf_lenna"] = {
         "gradient_msec": round(dt_g * 1e3, 3),
         "abf_msec": round(dt_a * 1e3, 3),
@@ -78,6 +86,18 @@ def main():
     report["config3_btf_mosaic_cat"] = {
         "msec": round(dt * 1e3, 1),
         "mps": round(cat.shape[0] * cat.shape[1] / dt / 1e6, 1),
+    }
+
+    # batched BTF (8× mosaic_cat on one chip)
+    from various_image_processings_tpu.parallel import bilateral_texture_filter_batched
+    cat8 = jnp.tile(dc[None], (8, 1, 1, 1))
+    mesh1 = make_mesh(batch=1, spatial=1)
+    dt = timed_chain(
+        lambda b: bilateral_texture_filter_batched(b, 9, 3, mesh=mesh1),
+        cat8, iters=4)
+    report["config3b_batched_btf_8x_mosaic_cat"] = {
+        "batch": 8, "msec_per_batch": round(dt * 1e3, 1),
+        "mps": round(8 * cat.shape[0] * cat.shape[1] / dt / 1e6, 1),
     }
 
     t0 = time.perf_counter()
@@ -94,23 +114,33 @@ def main():
     mask = np.zeros(dog.shape[:2], np.uint8)
     cy, cx = dog.shape[0] // 2, dog.shape[1] // 2
     mask[cy - 32 : cy + 32, cx - 32 : cx + 32] = 255
+    vip.inpainting_wexler(dog, mask)  # warmup (compile/cache-load), like
+    # the reference benchmark's discarded first MEASURE run
     t0 = time.perf_counter()
     vip.inpainting_wexler(dog, mask)
     report["config5a_wexler_mosaic_dog_64sq"] = {
         "sec": round(time.perf_counter() - t0, 1)}
 
-    batch = jnp.asarray(np.broadcast_to(
-        np.tile(lenna, (5, 8, 1))[:2160, :3840][None], (8, 2160, 3840, 3)).copy())
+    # the FULL BASELINE.md config: 64×4K u8 (~1.6 GB in + 1.6 GB out, fits
+    # one v5e's HBM).  Built on-device from one 4K tile so the batch never
+    # crosses the host link.
+    tile4k = jax.device_put(
+        jnp.asarray(np.tile(lenna, (5, 8, 1))[:2160, :3840]))
+    batch64 = jnp.tile(tile4k[None], (64, 1, 1, 1))
+    batch64.block_until_ready()
     mesh = make_mesh(batch=1, spatial=1)
-    d = jax.device_put(batch)
     dt = timed_chain(lambda b: bilateral_filter_batched(b, 9, 10.0, 30.0, mesh=mesh),
-                     d, iters=4)
-    report["config5b_batched_4k_bilateral"] = {
-        "batch": 8, "msec_per_batch": round(dt * 1e3, 1),
-        "mps": round(8 * 2160 * 3840 / dt / 1e6, 1),
+                     batch64, iters=3)
+    report["config5b_batched_64x4k_bilateral"] = {
+        "batch": 64, "msec_per_batch": round(dt * 1e3, 1),
+        "mps": round(64 * 2160 * 3840 / dt / 1e6, 1),
     }
 
     print(json.dumps(report, indent=2))
+    out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAILS.json")
+    with open(os.path.abspath(out_path), "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -27,16 +27,25 @@ from ..bilateral import nonzero_taps
 from ._stencil import (plan_tiles, to_planar_padded, from_planar,
                        halo_in_spec, tile_out_spec, stencil_call)
 
-# measured on hardware (k=9, 4K): (32,384) → 983 MP/s, (32,512) → 846,
-# (32,256) → 931; 4.3 vals/tap steers the budget to the measured optimum
-_VALS_PER_TAP = 4.3
+# compile-limit estimate: (32,512) at k=9 (69 taps) compiles on hardware,
+# so ~2.9 live tile-values per tap bounds what Mosaic actually materializes
+_VALS_PER_TAP = 2.9
 _VMEM_TEMP_BUDGET = 13 * 1024 * 1024
 MAX_UNROLL_TAPS = 120
 
 
-def _pick_tile(n_taps: int):
+def _pick_tile(n_taps: int, width: int):
+    """Width-aware tile choice, measured on hardware (k=9, chain-slope):
+    whole-width tiles kill the halo/alignment padding waste on narrow
+    images (lenna 512²: (32,512) → 931 MP/s vs ~360 with a 384 tile that
+    pads 512→768 columns); at 4K all of (32,256/384/512) measure ~850 MP/s
+    within tunnel variance (medians 858/849/844 over interleaved reps)."""
+    from ...core.pad import round_up
     budget_elems = _VMEM_TEMP_BUDGET / (4.0 * _VALS_PER_TAP * n_taps)
-    for th, tw in ((64, 512), (32, 512), (32, 384), (32, 256), (32, 128)):
+    w128 = round_up(width, 128)
+    cands = ([(32, w128)] if w128 <= 512 else []) + [(32, 384), (32, 256),
+                                                     (32, 128)]
+    for th, tw in cands:
         if th * tw <= budget_elems:
             return th, tw
     return None
@@ -105,7 +114,7 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
     h, w, _ = src_u8.shape
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
-    tile = _pick_tile(len(taps))
+    tile = _pick_tile(len(taps), w)
     if tile is None or len(taps) > MAX_UNROLL_TAPS:
         from ..adaptive_bilateral import _abf_math
         return _abf_math(src_u8, ksize, sigma_space, sigma_color)

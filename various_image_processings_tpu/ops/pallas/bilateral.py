@@ -107,6 +107,101 @@ def _make_kernel(plan, taps, coeff, joint: bool):
     return compute_self
 
 
+def _make_partial_kernel(plan, taps, coeff, joint: bool):
+    """Unrolled stencil over a SUBSET of taps, emitting raw f32 accumulators
+    (3 weighted channel sums + weight sum) instead of the normalized u8 —
+    large stencils split into ≤MAX_UNROLL_TAPS chunks whose partials add in
+    XLA.  Ordering note: within a chunk the f32 accumulation keeps the
+    reference's (ky, kx) order; across chunks the partials add pairwise,
+    which differs from the sequential order by ≤ulps (inside the ±1 u8
+    contract)."""
+    th, tw, r = plan.th, plan.tw, plan.radius
+
+    def compute(src_ref, guide_ref, acc_ref):
+        gc0 = guide_ref[0, r : r + th, r : r + tw]
+        gc1 = guide_ref[1, r : r + th, r : r + tw]
+        gc2 = guide_ref[2, r : r + th, r : r + tw]
+        a0 = jnp.zeros((th, tw), jnp.float32)
+        a1 = jnp.zeros((th, tw), jnp.float32)
+        a2 = jnp.zeros((th, tw), jnp.float32)
+        ak = jnp.zeros((th, tw), jnp.float32)
+        for dy, dx, ws in taps:
+            g0 = guide_ref[0, dy : dy + th, dx : dx + tw]
+            g1 = guide_ref[1, dy : dy + th, dx : dx + tw]
+            g2 = guide_ref[2, dy : dy + th, dx : dx + tw]
+            dist = jnp.abs(g0 - gc0) + jnp.abs(g1 - gc1) + jnp.abs(g2 - gc2)
+            wk = ws * jnp.exp(dist * dist * coeff)
+            if joint:
+                s0 = src_ref[0, dy : dy + th, dx : dx + tw]
+                s1 = src_ref[1, dy : dy + th, dx : dx + tw]
+                s2 = src_ref[2, dy : dy + th, dx : dx + tw]
+            else:
+                s0, s1, s2 = g0, g1, g2
+            a0 = a0 + s0 * wk
+            a1 = a1 + s1 * wk
+            a2 = a2 + s2 * wk
+            ak = ak + wk
+        acc_ref[0] = a0
+        acc_ref[1] = a1
+        acc_ref[2] = a2
+        acc_ref[3] = ak
+
+    if joint:
+        return compute
+
+    def compute_self(src_ref, acc_ref):
+        return compute(src_ref, src_ref, acc_ref)
+
+    return compute_self
+
+
+def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
+    """Mid-size stencils (MAX_UNROLL < taps ≤ a few×MAX_UNROLL): several
+    fully-unrolled partial-accumulator kernels + an XLA combine — measured
+    ~2.5× the throughput of the rolled chunked kernel at k=17 (the rolls
+    relayout the whole halo block once per tap row)."""
+    h, w, _ = src_u8.shape
+    radius = ksize // 2
+    taps = nonzero_taps(ksize, sigma_space)
+    # size chunks so a (32, 256) tile fits the VMEM temp budget — small
+    # (32, 128) tiles lose more to halo read amplification than fewer
+    # passes save (measured at k=17)
+    tile = (32, 256)
+    per_tap = _VALS_PER_TAP_JOINT if joint else _VALS_PER_TAP_SELF
+    per = int(_VMEM_TEMP_BUDGET / (4.0 * per_tap * tile[0] * tile[1]))
+    if per < 8:
+        return None
+    nchunks = -(-len(taps) // per)
+    per = -(-len(taps) // nchunks)  # balance chunk sizes
+    chunks = [taps[i * per : (i + 1) * per] for i in range(nchunks)]
+    plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
+    coeff = gauss_coeff_f32(sigma_color)
+    src_p = to_planar_padded(src_u8, plan)
+    args = (src_p,)
+    in_specs = [halo_in_spec(plan)]
+    if joint:
+        guide_p = to_planar_padded(guide_u8, plan)
+        args = (src_p, guide_p)
+        in_specs = [halo_in_spec(plan), halo_in_spec(plan)]
+    out_shape = jax.ShapeDtypeStruct((4, plan.out_rows, plan.out_cols),
+                                     jnp.float32)
+    total = None
+    for chunk in chunks:
+        cost = pl.CostEstimate(
+            flops=len(chunk) * 14 * plan.out_rows * plan.out_cols,
+            bytes_accessed=(2 if joint else 1) * 3 * plan.padded_rows
+            * plan.padded_cols * 4,
+            transcendentals=len(chunk) * plan.out_rows * plan.out_cols,
+        )
+        acc = stencil_call(_make_partial_kernel(plan, chunk, coeff, joint),
+                           plan, in_specs, tile_out_spec(plan, 4), out_shape,
+                           cost)(*args)
+        total = acc if total is None else total + acc
+    inv = jnp.float32(1.0) / total[3]
+    out = jnp.floor(total[:3] * inv + jnp.float32(0.5)).astype(jnp.uint8)
+    return from_planar(out, plan)
+
+
 def _make_chunked_kernel(plan, ksize, coeff, joint: bool):
     """Large-k variant: the grid gains a third dimension over tap rows (ky).
     Per step the halo block (which Pallas keeps VMEM-resident across the ky
@@ -240,7 +335,12 @@ def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
     taps = nonzero_taps(ksize, sigma_space)
     tile = pick_tile(len(taps), joint)
     if tile is None or len(taps) > MAX_UNROLL_TAPS:
-        # large stencil: tap-row-chunked kernel (3rd grid dim over ky)
+        if len(taps) <= 4 * MAX_UNROLL_TAPS:
+            out = _run_split(src_u8, guide_u8, ksize, sigma_space,
+                             sigma_color, joint)
+            if out is not None:
+                return out
+        # very large stencil: tap-row-chunked kernel (3rd grid dim over ky)
         return _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
                             joint)
 

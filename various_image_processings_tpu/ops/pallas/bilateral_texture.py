@@ -6,15 +6,19 @@ TPU-native counterparts of ``compute_blur_and_rtv_kernel`` and
 iteration of ``CudaBilateralTextureFilter::Impl::execute`` (:199-214).
 
 Stage fusion: blur + mRTV statistics (box sums, intensity min/max, magnitude
-max/sum) are one unrolled kernel pass over a shared VMEM halo block — the
-north-star "integral-image mRTV path" fused the way the CUDA kernel fuses
-its smem tile.  The guide's window argmin keeps the reference's
-first-minimum tie-break in (ky, kx) order via a strict-less running select
-(no gathers).  Both stages use small tiles (the k² window is a full square
-here — no circular mask — and Mosaic materializes every unrolled temp; see
-pallas/bilateral.py).  The closing joint-bilateral stage has 2k−1 = 17 →
-~225 circle taps, beyond the unroll budget, so it automatically takes the
-fused-XLA formulation inside the same jit.
+max/sum) are one kernel pass over a shared VMEM halo block — the north-star
+"integral-image mRTV path" fused the way the CUDA kernel fuses its smem
+tile.  The window reductions are SEPARABLE (2k taps instead of k²) wherever
+that is value-exact: box sums of u8-valued integers are exact in f32 in any
+order, and min/max are associative; only the magnitude box sum (f32,
+order-sensitive rounding) keeps the reference's (ky, kx) scan order so the
+mRTV stays within the golden tolerance contract.  The guide's window argmin
+is also separable EXACTLY: a first-minimum row pass then a first-minimum
+column pass selects the lexicographically-first (ky, kx) minimum — the
+reference's scan-order tie-break (include/cpp/bilateral_texture_filter.hpp:
+101-112) — with identical results.  The closing joint-bilateral stage has
+2k−1 = 17 → ~225 circle taps, beyond the unroll budget, so it automatically
+takes the tap-row-chunked kernel.
 """
 
 from __future__ import annotations
@@ -33,32 +37,48 @@ EPSILON = np.float32(1e-9)
 
 
 def _make_blur_rtv_kernel(plan, ksize):
-    th, tw = plan.th, plan.tw
+    th, tw, r = plan.th, plan.tw, plan.radius
+    bh = th + 2 * r
     k2 = np.float32(ksize * ksize)
+    three = np.float32(3.0)
 
     def kernel(img_ref, mag_ref, blurred_ref, rtv_ref):
-        b0 = jnp.zeros((th, tw), jnp.float32)
-        b1 = jnp.zeros((th, tw), jnp.float32)
-        b2 = jnp.zeros((th, tw), jnp.float32)
-        imx = jnp.full((th, tw), 0.0, jnp.float32)
-        imn = jnp.full((th, tw), 256.0, jnp.float32)
-        mmx = jnp.zeros((th, tw), jnp.float32)
+        # separable row→column reductions (2k taps): box sums of u8-valued
+        # integers are exact in f32 in any order; min/max are associative
+        ip = (img_ref[0] + img_ref[1] + img_ref[2]) / three  # intensity
+        hb0 = img_ref[0, 0:bh, 0:tw]
+        hb1 = img_ref[1, 0:bh, 0:tw]
+        hb2 = img_ref[2, 0:bh, 0:tw]
+        himx = ip[0:bh, 0:tw]
+        himn = ip[0:bh, 0:tw]
+        hmmx = mag_ref[0, 0:bh, 0:tw]
+        for dx in range(1, ksize):
+            hb0 = hb0 + img_ref[0, 0:bh, dx : dx + tw]
+            hb1 = hb1 + img_ref[1, 0:bh, dx : dx + tw]
+            hb2 = hb2 + img_ref[2, 0:bh, dx : dx + tw]
+            iw = ip[0:bh, dx : dx + tw]
+            himx = jnp.maximum(himx, iw)
+            himn = jnp.minimum(himn, iw)
+            hmmx = jnp.maximum(hmmx, mag_ref[0, 0:bh, dx : dx + tw])
+        b0 = hb0[0:th, :]
+        b1 = hb1[0:th, :]
+        b2 = hb2[0:th, :]
+        imx = himx[0:th, :]
+        imn = himn[0:th, :]
+        mmx = hmmx[0:th, :]
+        for dy in range(1, ksize):
+            b0 = b0 + hb0[dy : dy + th, :]
+            b1 = b1 + hb1[dy : dy + th, :]
+            b2 = b2 + hb2[dy : dy + th, :]
+            imx = jnp.maximum(imx, himx[dy : dy + th, :])
+            imn = jnp.minimum(imn, himn[dy : dy + th, :])
+            mmx = jnp.maximum(mmx, hmmx[dy : dy + th, :])
+        # magnitude box sum: f32 rounding is order-sensitive — keep the
+        # reference's (ky, kx) scan order (golden tolerance contract)
         msm = jnp.zeros((th, tw), jnp.float32)
-        three = np.float32(3.0)
         for dy in range(ksize):
             for dx in range(ksize):
-                p0 = img_ref[0, dy : dy + th, dx : dx + tw]
-                p1 = img_ref[1, dy : dy + th, dx : dx + tw]
-                p2 = img_ref[2, dy : dy + th, dx : dx + tw]
-                mw = mag_ref[0, dy : dy + th, dx : dx + tw]
-                b0 = b0 + p0
-                b1 = b1 + p1
-                b2 = b2 + p2
-                iw = (p0 + p1 + p2) / three
-                imx = jnp.maximum(imx, iw)
-                imn = jnp.minimum(imn, iw)
-                mmx = jnp.maximum(mmx, mw)
-                msm = msm + mw
+                msm = msm + mag_ref[0, dy : dy + th, dx : dx + tw]
         blurred_ref[0] = b0 / k2
         blurred_ref[1] = b1 / k2
         blurred_ref[2] = b2 / k2
@@ -72,8 +92,7 @@ def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int):
     ((H,W,3) f32 blurred, (H,W) f32 rtv)."""
     h, w, _ = img_f32.shape
     radius = ksize // 2
-    # full-square k² taps with ~12 live temps each → small tiles
-    plan = plan_tiles(h, w, radius, th=8, tw=256)
+    plan = plan_tiles(h, w, radius, th=32, tw=256)
     img_p = to_planar_padded(img_f32, plan)
     mag_p = to_planar_padded(magnitude, plan)
     out_shapes = (
@@ -98,24 +117,40 @@ def _make_guide_kernel(plan, ksize):
     th, tw, r = plan.th, plan.tw, plan.radius
     sigma_alpha = np.float32(1.0) / np.float32(5 * ksize)
 
+    bh = th + 2 * r
+
     def kernel(blur_ref, rtv_ref, guide_ref):
         rtv_center = rtv_ref[0, r : r + th, r : r + tw]
         bc0 = blur_ref[0, r : r + th, r : r + tw]
         bc1 = blur_ref[1, r : r + th, r : r + tw]
         bc2 = blur_ref[2, r : r + th, r : r + tw]
 
-        bm = jnp.full((th, tw), jnp.finfo(jnp.float32).max, jnp.float32)
-        g0 = jnp.zeros((th, tw), jnp.float32)
-        g1 = jnp.zeros((th, tw), jnp.float32)
-        g2 = jnp.zeros((th, tw), jnp.float32)
-        for dy in range(ksize):
-            for dx in range(ksize):
-                rv = rtv_ref[0, dy : dy + th, dx : dx + tw]
-                m = rv < bm  # strict: keeps the FIRST minimum in scan order
-                bm = jnp.where(m, rv, bm)
-                g0 = jnp.where(m, blur_ref[0, dy : dy + th, dx : dx + tw], g0)
-                g1 = jnp.where(m, blur_ref[1, dy : dy + th, dx : dx + tw], g1)
-                g2 = jnp.where(m, blur_ref[2, dy : dy + th, dx : dx + tw], g2)
+        # separable first-minimum argmin (2k taps): a strict-less row pass
+        # then a strict-less column pass selects the lexicographically-first
+        # (ky, kx) minimum — exactly the reference's row-major scan-order
+        # tie-break, with identical values (no arithmetic, only selects)
+        hm = rtv_ref[0, 0:bh, 0:tw]
+        hg0 = blur_ref[0, 0:bh, 0:tw]
+        hg1 = blur_ref[1, 0:bh, 0:tw]
+        hg2 = blur_ref[2, 0:bh, 0:tw]
+        for dx in range(1, ksize):
+            rv = rtv_ref[0, 0:bh, dx : dx + tw]
+            m = rv < hm  # strict: keeps the FIRST minimum in dx order
+            hm = jnp.where(m, rv, hm)
+            hg0 = jnp.where(m, blur_ref[0, 0:bh, dx : dx + tw], hg0)
+            hg1 = jnp.where(m, blur_ref[1, 0:bh, dx : dx + tw], hg1)
+            hg2 = jnp.where(m, blur_ref[2, 0:bh, dx : dx + tw], hg2)
+        bm = hm[0:th, :]
+        g0 = hg0[0:th, :]
+        g1 = hg1[0:th, :]
+        g2 = hg2[0:th, :]
+        for dy in range(1, ksize):
+            rv = hm[dy : dy + th, :]
+            m = rv < bm  # strict: keeps the FIRST minimum in dy order
+            bm = jnp.where(m, rv, bm)
+            g0 = jnp.where(m, hg0[dy : dy + th, :], g0)
+            g1 = jnp.where(m, hg1[dy : dy + th, :], g1)
+            g2 = jnp.where(m, hg2[dy : dy + th, :], g2)
 
         alpha = (jnp.float32(2.0)
                  / (jnp.float32(1.0) + jnp.exp(sigma_alpha * (rtv_center - bm)))
@@ -140,7 +175,7 @@ def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
     """((H,W,3) f32, (H,W) f32) → (H,W,3) u8 guide."""
     h, w, _ = blurred.shape
     radius = ksize // 2
-    plan = plan_tiles(h, w, radius, th=8, tw=256)
+    plan = plan_tiles(h, w, radius, th=32, tw=256)
     blur_p = to_planar_padded(blurred, plan)
     rtv_p = to_planar_padded(rtv, plan)
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.float32)

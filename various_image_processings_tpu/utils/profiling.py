@@ -42,23 +42,32 @@ def measure(fn, iters: int = 50) -> float:
     return total / iters * 1e3
 
 
-def measure_chained(step, init, iters: int = 30) -> float:
-    """Pure per-kernel msec via the chain-slope method: time a data-dependent
-    chain of 1 and of `iters` applications of ``step`` (each fenced once) and
-    take the slope — the round-trip latency cancels in the difference."""
+def measure_chained(step, init, iters: int = 30, repeats: int = 3) -> float:
+    """Pure per-kernel msec via the chain-slope method: time data-dependent
+    chains of two lengths (each fenced once) and take the slope — the
+    round-trip latency cancels in the difference.  Each length is timed
+    ``repeats`` times and the minimum kept: on a remote-tunnel runtime the
+    round-trip latency has multi-ms spikes that a single intercept sample
+    turns into negative slopes for sub-ms kernels."""
     def chain(n):
         out = init
         for _ in range(n):
             out = step(out)
         fence(out)
 
+    def best_of(n):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            chain(n)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     chain(2)  # warmup/compile
-    t0 = time.perf_counter()
-    chain(1)
-    t1 = time.perf_counter()
-    chain(iters)
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (iters - 1) * 1e3
+    n1 = max(2, iters // 8)
+    t_short = best_of(n1)
+    t_long = best_of(iters)
+    return (t_long - t_short) / (iters - n1) * 1e3
 
 
 def measure_throughput(fn, pixels: int, iters: int = 50):
