@@ -40,9 +40,9 @@ def timed(fn, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-def timed_chain(step, init, iters=16):
+def timed_chain(step, init, iters=16, repeats=3):
     from various_image_processings_tpu.utils.profiling import measure_chained
-    return measure_chained(step, init, iters) / 1e3
+    return measure_chained(step, init, iters, repeats=repeats) / 1e3
 
 
 def main():
@@ -59,7 +59,7 @@ def main():
     # 512² ops are ~0.2-0.7 ms/call: chains must be long enough that the
     # slope dwarfs the tunnel round-trip variance (±1-2 ms per timing)
     dt = timed_chain(lambda x: vip.bilateral_filter(x, 9, 10.0, 30.0), dl,
-                     iters=256)
+                     iters=256, repeats=8)
     oracle = cv2.bilateralFilter(lenna, 9, 30.0, 10.0, borderType=cv2.BORDER_REPLICATE)
     out = np.asarray(vip.bilateral_filter(dl, 9, 10.0, 30.0))
     report["config1_bilateral_lenna"] = {
@@ -67,13 +67,17 @@ def main():
         "max_err_vs_opencv": int(np.abs(out.astype(int) - oracle.astype(int)).max()),
     }
 
-    # chain gradient through a u8 round-trip so the slope method applies
-    # (the cast adds ~1 ms at 4K; at 512² it is noise)
-    dt_g = timed_chain(
-        lambda x: jnp.clip(vip.gradient(x)[:, :, None], 0, 255)
-        .astype(jnp.uint8).repeat(3, 2), dl, iters=256)
+    # chain gradient through a u8 round-trip so the slope method applies;
+    # the whole step must be ONE jitted program — eager clip/cast/repeat ops
+    # each dispatch separately and cost ~5 ms/step through the tunnel
+    @jax.jit
+    def grad_step(x):
+        g = vip.gradient(x)
+        return jnp.clip(g[:, :, None], 0, 255).astype(jnp.uint8).repeat(3, 2)
+
+    dt_g = timed_chain(grad_step, dl, iters=256, repeats=8)
     dt_a = timed_chain(lambda x: vip.adaptive_bilateral_filter(x, 9, 10.0, 30.0),
-                       dl, iters=256)
+                       dl, iters=256, repeats=8)
     report["config2_gradient_abf_lenna"] = {
         "gradient_msec": round(dt_g * 1e3, 3),
         "abf_msec": round(dt_a * 1e3, 3),
