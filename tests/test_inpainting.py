@@ -74,3 +74,54 @@ def test_inpaint_validates_shapes():
     with pytest.raises(ValueError, match="sizes differ"):
         WexlerInpainting().apply(np.zeros((10, 10, 3), np.uint8),
                                  np.zeros((9, 10), np.uint8))
+
+
+def test_ring_search_energy_matches_bruteforce():
+    """The single-conv masked-SSD scan (hi/lo integer split riding the same
+    filters as the cross term) must reproduce the brute-force
+    E[t] = min_c Σ_i m_ti (a_ci − b_ti)² over all candidates, including the
+    first-minimum (raster) tie-break and the border in-range masks."""
+    import jax.numpy as jnp
+    from various_image_processings_tpu.models.inpainting import (
+        _ring_targets_search, WHALF, WINDOW_SIZE)
+
+    rng = np.random.default_rng(7)
+    h, w = 33, 41
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+    rem = np.zeros((h, w), np.float32)
+    rem[14:19, 20:25] = 1.0              # 5×5 hole
+    # targets: the hole boundary AND a border-hugging pixel (partial mask)
+    targets = [(14, 20), (14, 24), (18, 22), (3, 0)]
+    rem[3, 0] = 1.0
+    ty = np.array([t[0] for t in targets], np.int32)
+    tx = np.array([t[1] for t in targets], np.int32)
+    tvalid = np.ones(len(targets), bool)
+
+    e, by, bx = _ring_targets_search(
+        jnp.asarray(img), jnp.asarray(rem), jnp.asarray(ty), jnp.asarray(tx),
+        jnp.asarray(tvalid), h, w, initial=False)
+    e, by, bx = np.asarray(e), np.asarray(by), np.asarray(bx)
+
+    # brute force
+    pad = WHALF
+    img_p = np.pad(img, [(pad, pad), (pad, pad), (0, 0)])
+    rem_p = np.pad(rem, [(pad, pad), (pad, pad)])
+    for i, (y, x) in enumerate(targets):
+        b = img_p[y : y + WINDOW_SIZE, x : x + WINDOW_SIZE]
+        m = np.zeros((WINDOW_SIZE, WINDOW_SIZE), np.float32)
+        for ky in range(WINDOW_SIZE):
+            for kx in range(WINDOW_SIZE):
+                yy, xx = y + ky - pad, x + kx - pad
+                m[ky, kx] = float(0 <= yy < h and 0 <= xx < w)
+        best = (np.inf, -1, -1)
+        for cy in range(pad, h - pad):
+            for cx in range(pad, w - pad):
+                if rem[cy - pad : cy + pad + 1, cx - pad : cx + pad + 1].any():
+                    continue
+                a = img[cy - pad : cy + pad + 1, cx - pad : cx + pad + 1]
+                en = float((m[:, :, None] * (a - b) ** 2).sum())
+                if en < best[0]:
+                    best = (en, cy, cx)
+        assert (by[i], bx[i]) == (best[1], best[2]), (i, targets[i])
+        # f32/bf16-exact products, only the final Σ (≤3·10⁷) may round
+        assert abs(e[i] - best[0]) <= max(4.0, 1e-6 * best[0]), (i, targets[i])

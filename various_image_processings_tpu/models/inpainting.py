@@ -10,14 +10,14 @@ TPU-first redesign of the hot path: the reference's ``serach_exemplar``
 (:220-269) is an exhaustive per-pixel O(W·H·13²) SSD scan, called once per
 filled pixel.  Here the ENTIRE fill pass is one device program
 (``_fill_pass_device``): a ``lax.while_loop`` peels one contour ring per
-iteration, the whole ring is batched, all candidate patches are extracted
-once per ring (bf16 — exact for integer pixel values) and the scan becomes
-two MXU matmuls:
+iteration, the whole ring is batched, and the scan over ALL candidates
+becomes ONE dynamic-filter convolution on the MXU:
 
-    E[c, t] = Σ_i m_ti (a_ci − b_ti)²
-            = (A² Mᵀ)[c, t] − 2 (A B'ᵀ)[c, t] + Σ_i m_ti b_ti²
+    E[t, c] = Σ_i m_ti (a_ci − b_ti)²
+            = conv(image planes, per-target 13×13 filters)[t, c] + Σ_i m_ti b_ti²
 
-with A = candidate patches, B' = mask-weighted target patches; candidates
+(the a² term rides the same conv through an exact 256·hi + lo integer
+split — see ``_ring_targets_search``); candidates
 whose 13×13 patch touches the hole are rejected via a box-sum of the
 remaining mask (the reference's reject test, :238-241).  One pass costs ONE
 dispatch and ONE download — the per-ring host round-trips that dominated the
@@ -225,17 +225,25 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
     b_masked = (b * mflat)                                   # B'
     b2_const = jnp.sum(b_masked * b, axis=1)                 # Σ m b²  (T,)
 
-    # candidate patches: ONE whole-image extraction in bf16 -----------------
-    # bf16 is exact here: the image starts u8 and every fill copies pixel
-    # values, so patch entries stay integers in [0, 255] — all exactly
-    # representable in bf16; the MXU accumulates the products in f32.
+    # candidate scan: ONE dynamic-filter convolution -------------------------
+    # E'[t, c] = Σ_i m_ti a_ci² − 2 Σ_i m_ti b_ti a_ci is a correlation of
+    # the image with per-target 13×13 filters, so the whole scan lowers to
+    # the MXU via lax.conv without ever materializing the (507, Nc) patch
+    # matrix (272 MB bf16) or its f32 square (544 MB) that a dot_general
+    # formulation extracts per ring.  bf16 filters/inputs are exact:
+    #   - image values are integers in [0, 255] (u8 origin, fills copy
+    #     pixels) — exact in bf16 (8-bit mantissa);
+    #   - a² ∈ [0, 65025] is NOT, so it is split a² = 256·hi + lo with
+    #     hi, lo ≤ 255 (both exact) and the filter carries 256·m (powers of
+    #     two scale exactly);
+    #   - the cross filter carries −2·(m·b) ≤ 510, even → ≤8 significant
+    #     bits, exact.
+    # Every bf16×bf16 product is exact in the f32 accumulator; only the
+    # final Σ (up to ~3·10⁷) rounds, deterministically, ≤2 absolute — the
+    # same class as the dot_general formulation's f32 accumulation.
     n_cy = height - 2 * WHALF   # candidate centre rows: WHALF .. H-WHALF-1
     n_cx = width - 2 * WHALF
     ncand = n_cy * n_cx
-    a = jax.lax.conv_general_dilated_patches(
-        image_f.astype(jnp.bfloat16).transpose(2, 0, 1)[None],  # (1, 3, H, W)
-        (WINDOW_SIZE, WINDOW_SIZE), (1, 1), "VALID",
-    ).reshape(patch_len, ncand)          # (507, Nc), features (c, ky, kx)
 
     # candidate validity: no remaining pixel in the patch (box sum == 0)
     ii = jnp.pad(jnp.cumsum(jnp.cumsum(remained, axis=0), axis=1),
@@ -244,15 +252,27 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
     box_sum = (ii[k:, k:] - ii[k:, :-k] - ii[:-k, k:] + ii[:-k, :-k])
     valid = (box_sum == 0).reshape(ncand)
 
-    cross = jax.lax.dot_general(
-        a, b_masked.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (Nc, T)
-    af = a.astype(jnp.float32)                               # exact (integers)
-    e = (jax.lax.dot_general(af * af, mflat,
-                             dimension_numbers=(((0,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-         - 2.0 * cross)
+    sq = image_f * image_f                                   # exact ints
+    hi = jnp.floor(sq * jnp.float32(1.0 / 256.0))
+    lo = sq - hi * jnp.float32(256.0)
+    planes = jnp.concatenate([hi, lo, image_f], axis=2)      # (H, W, 9)
+    m4 = mflat.reshape(t, 3, WINDOW_SIZE, WINDOW_SIZE)
+    bm4 = b_masked.reshape(t, 3, WINDOW_SIZE, WINDOW_SIZE)
+    filt = jnp.concatenate(
+        [m4 * jnp.float32(256.0), m4, jnp.float32(-2.0) * bm4],
+        axis=1)                                              # (T, 9, 13, 13)
+    # NHWC/HWIO is measurably faster than NCHW/OIHW for this dynamic-filter
+    # conv on v5e (~8 %); a masked-mask fast path (box-sum Σa² shared across
+    # full-mask targets + 3-channel cross conv) was tried and is SLOWER —
+    # the conv is im2col/layout-bound, not FLOP-bound, so cutting the
+    # contraction 3× bought nothing and the extra SATs cost ~2 ms.
+    x = planes.astype(jnp.bfloat16)[None]                    # (1, H, W, 9)
+    f = filt.transpose(2, 3, 1, 0).astype(jnp.bfloat16)      # (13, 13, 9, T)
+    dn = jax.lax.conv_dimension_numbers(x.shape, f.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    e = jax.lax.conv_general_dilated(
+        x, f, (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)[0].reshape(ncand, t)
     e = jnp.where(valid[:, None], e, jnp.float32(np.inf))
     # argmin returns the FIRST minimum → candidate scan order is raster order
     # of window top-lefts, same tie-break as the reference's y/x loops
@@ -277,18 +297,36 @@ def _boundary_ring(rem, height, width):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "initial",
-                                              "cap"))
+                                              "cap", "bbox"))
 def _fill_pass_device(image_u8, remained0, weight, height, width,
-                      initial: bool, cap: int = RING_CAP):
+                      initial: bool, cap: int = RING_CAP,
+                      bbox: tuple | None = None):
     """One exemplar_based_inpainting pass (reference :271-322) as a single
     XLA program: lax.while_loop peels ≤cap boundary targets per iteration.
-    Returns (filled u8 image, energy f32 — −1.0 on search failure)."""
+    Returns (filled u8 image, energy f32 — −1.0 on search failure).
+
+    bbox: static (y0, y1, x0, x1) hole bounding box with a 1-pixel margin
+    (host-computed from the mask).  The hole never grows, so the boundary
+    ring and its nonzero-compaction run on the small box instead of the
+    whole image — on a 700×402 image with a 64² hole this removes ~2.5 ms
+    of O(H·W) work from EVERY ring iteration.  A margin pixel is known
+    (rem = 0) by construction, so treating box edges as known (the pad
+    inside ``_boundary_ring``) matches the full-image semantics; where the
+    hole touches the image border the box edge IS the image border, which
+    counts as known in the reference's neighbour test too."""
+    if bbox is None:
+        bbox = (0, height, 0, width)
+    by0, by1, bx0, bx1 = bbox
+    bh, bw = by1 - by0, bx1 - bx0
 
     def body(carry):
         img_f, rem, energy, fail = carry
-        ring = _boundary_ring(rem, height, width)
+        rem_box = jax.lax.slice(rem, (by0, bx0), (by1, bx1))
+        ring = _boundary_ring(rem_box, bh, bw)
         count = jnp.sum(ring)
         tys, txs = jnp.nonzero(ring, size=cap, fill_value=0)  # raster order
+        tys = tys + by0
+        txs = txs + bx0
         tvalid = jnp.arange(cap) < count
         e, by, bx = _ring_targets_search(img_f, rem, tys, txs, tvalid,
                                          height, width, initial)
@@ -305,7 +343,8 @@ def _fill_pass_device(image_u8, remained0, weight, height, width,
 
     def cond(carry):
         _, rem, _, fail = carry
-        return (jnp.sum(rem) > 0) & ~fail
+        rem_box = jax.lax.slice(rem, (by0, bx0), (by1, bx1))
+        return (jnp.sum(rem_box) > 0) & ~fail
 
     carry0 = (image_u8.astype(jnp.float32), remained0.astype(jnp.float32),
               jnp.float32(0.0), jnp.bool_(False))
@@ -356,9 +395,17 @@ class WexlerInpainting:
         One device dispatch + one download — the whole onion-peel loop runs
         in ``_fill_pass_device``."""
         h, w = mask.shape
+        hole = mask > 0
+        ys, xs = np.nonzero(hole)
+        if len(ys) == 0:
+            bbox = (0, 1, 0, 1)
+        else:
+            bbox = (max(int(ys.min()) - 1, 0), min(int(ys.max()) + 2, h),
+                    max(int(xs.min()) - 1, 0), min(int(xs.max()) + 2, w))
         filled, energy = _fill_pass_device(
-            jnp.asarray(image), jnp.asarray((mask > 0).astype(np.float32)),
-            jnp.asarray(weight.astype(np.float32)), h, w, initial)
+            jnp.asarray(image), jnp.asarray(hole.astype(np.float32)),
+            jnp.asarray(weight.astype(np.float32)), h, w, initial,
+            bbox=bbox)
         energy = float(energy)
         if energy < 0:
             return image, -1.0  # exemplar not found (:308-311) — discard
