@@ -125,6 +125,35 @@ void vip_component_sums(const int32_t* comp, const uint8_t* img,
     }
 }
 
+// ---------------------------------------------------------------------------
+// 8-bit BGR → Lab, bit-identical to OpenCV's fixed-point path (the tables —
+// gamma LUT, cube-root LUT, 12-bit XYZ coefficients — are built once in
+// Python by core/colors.py:_lab_tables and passed in).  Reference SLIC calls
+// cv::cvtColor(BGR2Lab) at include/cpp/slic.hpp:166; this keeps the exact
+// conversion on the host without an OpenCV runtime dependency.
+// ---------------------------------------------------------------------------
+void vip_bgr2lab_u8(const uint8_t* bgr, int64_t npix,
+                    const int32_t* gamma_tab, const int32_t* cbrt_tab,
+                    const int32_t* c, uint8_t* lab_out) {
+    const int32_t lscale = (116 * 255 + 50) / 100;
+    const int32_t lshift = -((16 * 255 * (1 << 15) + 50) / 100);
+    const int32_t half12 = 1 << 11, half15 = 1 << 14, k128 = 128 << 15;
+    for (int64_t i = 0; i < npix; i++) {
+        const int32_t b = gamma_tab[bgr[i * 3 + 0]];
+        const int32_t g = gamma_tab[bgr[i * 3 + 1]];
+        const int32_t r = gamma_tab[bgr[i * 3 + 2]];
+        const int32_t fx = cbrt_tab[(r * c[0] + g * c[1] + b * c[2] + half12) >> 12];
+        const int32_t fy = cbrt_tab[(r * c[3] + g * c[4] + b * c[5] + half12) >> 12];
+        const int32_t fz = cbrt_tab[(r * c[6] + g * c[7] + b * c[8] + half12) >> 12];
+        int32_t L = (lscale * fy + lshift + half15) >> 15;
+        int32_t A = (500 * (fx - fy) + k128 + half15) >> 15;
+        int32_t B = (200 * (fy - fz) + k128 + half15) >> 15;
+        lab_out[i * 3 + 0] = (uint8_t)(L < 0 ? 0 : (L > 255 ? 255 : L));
+        lab_out[i * 3 + 1] = (uint8_t)(A < 0 ? 0 : (A > 255 ? 255 : A));
+        lab_out[i * 3 + 2] = (uint8_t)(B < 0 ? 0 : (B > 255 ? 255 : B));
+    }
+}
+
 }  // extern "C"
 
 extern "C" {
@@ -158,7 +187,8 @@ void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
         return x;
     };
 
-    // adjacency as sorted unique neighbor lists
+    // adjacency lists (duplicates allowed; canonicalized + deduped at use
+    // via the stamp array — avoids the per-component sort/unique passes)
     std::vector<std::vector<int32_t>> nbrs(ncomp);
     auto add_edge = [&](int32_t a, int32_t b) {
         if (a == b) return;
@@ -173,10 +203,6 @@ void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
             if (y + 1 < h) add_edge(comp[i], comp[i + w]);
         }
     }
-    for (auto& v : nbrs) {
-        std::sort(v.begin(), v.end());
-        v.erase(std::unique(v.begin(), v.end()), v.end());
-    }
 
     auto color_dist = [&](int32_t c1, int32_t c2) {
         const double dl = (means[c1 * 3 + 0] - means[c2 * 3 + 0]) * 2.55;
@@ -185,31 +211,40 @@ void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
         return dl * dl + da * da + db * db;
     };
 
+    std::vector<int32_t> stamp(ncomp, -1);
     std::vector<int32_t> cand;
     for (int32_t c = 0; c < ncomp; c++) {
         const int32_t cur = find(c);
         if (sizes[cur] >= min_area) continue;
-        // canonicalized, deduped neighbor roots of the merged region
+        // canonicalized, deduped neighbor roots of the merged region;
+        // best = closest mean color, ties to the LOWEST root id (matches
+        // the previous sorted-scan and the Python fallback)
         cand.clear();
         for (int32_t v : nbrs[cur]) {
             const int32_t r = find(v);
-            if (r != cur) cand.push_back(r);
+            if (r != cur && stamp[r] != c) { stamp[r] = c; cand.push_back(r); }
         }
-        std::sort(cand.begin(), cand.end());
-        cand.erase(std::unique(cand.begin(), cand.end()), cand.end());
         if (cand.empty()) continue;
         int32_t best = cand[0];
         double best_d = color_dist(cur, cand[0]);
         for (size_t i = 1; i < cand.size(); i++) {
             const double d = color_dist(cur, cand[i]);
-            if (d < best_d) { best_d = d; best = cand[i]; }
+            if (d < best_d || (d == best_d && cand[i] < best)) {
+                best_d = d; best = cand[i];
+            }
         }
         mapping[cur] = best;
-        // fold cur's adjacency into best (entries canonicalized at use)
+        // fold cur's (deduped) adjacency into best, small-to-large: both
+        // lists describe the same merged region rooted at best, so they
+        // are interchangeable and the shorter one is appended
         auto& nb = nbrs[best];
-        nb.insert(nb.end(), nbrs[cur].begin(), nbrs[cur].end());
-        nbrs[cur].clear();
-        nbrs[cur].shrink_to_fit();
+        auto& nc = nbrs[cur];
+        nc.swap(cand);  // cand holds cur's canonical deduped neighbors
+        if (nc.size() > nb.size()) nb.swap(nc);
+        nb.insert(nb.end(), nc.begin(), nc.end());
+        nc.clear();
+        nc.shrink_to_fit();
+        cand.clear();
     }
     for (int32_t c = 0; c < ncomp; c++) mapping_out[c] = find(c);
 }

@@ -88,11 +88,16 @@ def _init_centers(lab_f: jax.Array, height: int, width: int, sp_size: int,
     cxx = jnp.tile(cx, per_col)
 
     # 4-neighbour Laplacian of the Lab image, BORDER_REFLECT_101, summed
-    # over channels (cv::Laplacian ksize=1, :187-188).
-    p = jnp.pad(lab_f, [(1, 1), (1, 1), (0, 0)], mode="reflect")
-    lap = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
-           - 4.0 * lab_f)
-    grad = lap.sum(axis=2)
+    # over channels (cv::Laplacian ksize=1, :187-188).  Planar (H, W) per
+    # channel: stencils on the (H, W, 3) layout put the 3-channel axis in
+    # the 128-wide lane dimension (3% utilization — measured 32 ms for this
+    # one op on 512² v5e; planar is sub-ms).
+    grad = jnp.zeros((height, width), jnp.float32)
+    for ch in range(3):
+        c = lab_f[:, :, ch]
+        p = jnp.pad(c, [(1, 1), (1, 1)], mode="reflect")
+        grad = grad + (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2]
+                       + p[1:-1, 2:] - 4.0 * c)
 
     flat_grad = grad.reshape(-1)
     lab_flat = lab_f.reshape(-1, 3)
@@ -148,6 +153,9 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
                   .reshape(height, width))
 
     big = jnp.float32(np.finfo(np.float32).max)
+    # pad to whole cells so per-cell reductions are pure reshapes
+    pad_y = per_col * sp_size - height
+    pad_x = per_row * sp_size - width
 
     def upsample(grid_vals):
         """(per_col, per_row, C) → (H, W, C) by cell repetition."""
@@ -173,9 +181,6 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         updated = jnp.int32(0)
         feats = jnp.stack([xs, ys, pix_l, pix_a, pix_b,
                            jnp.ones((height, width), jnp.float32)], axis=-1)
-        # pad to whole cells so the per-cell reduction is a pure reshape
-        pad_y = per_col * sp_size - height
-        pad_x = per_row * sp_size - width
         sums = jnp.zeros((per_col, per_row, 6), jnp.float32)
         # 5×5 cell neighbourhood: covers every center whose CURRENT position
         # drifted up to two cells from its home cell — a superset of the
@@ -226,21 +231,61 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         means = jnp.floor(sums[:, :5] / jnp.maximum(counts, 1.0))
         return jnp.where(counts > 0, means, centers)
 
+    offsets_5x5 = [(dy, dx) for dy in (-2, -1, 0, 1, 2)
+                   for dx in (-2, -1, 0, 1, 2)]
+    big_i = jnp.int32(2**30)
+
     def snap_centers(centers, means, labels):
         """Snap each center to the pixel color-closest to the mean
-        (reference :283-306; floor-key argmin ≡ the int min_dist quirk)."""
-        lbl = labels.reshape(-1)
-        ml = jnp.take(means[:, 2], lbl)
-        ma = jnp.take(means[:, 3], lbl)
-        mb = jnp.take(means[:, 4], lbl)
-        d = color_dist(ml, ma, mb, pix_l.reshape(-1),
-                       pix_a.reshape(-1), pix_b.reshape(-1))
-        key = jnp.floor(d)
-        min_key = jax.ops.segment_min(key, lbl, num_segments=n)
-        is_min = key == jnp.take(min_key, lbl)
-        pick = jnp.where(is_min, flat_index.reshape(-1), jnp.int32(2**30))
-        first = jax.ops.segment_min(pick, lbl, num_segments=n)
-        has_pixels = first < 2**30
+        (reference :283-306; floor-key argmin ≡ the int min_dist quirk).
+
+        Dense two-pass formulation: association only assigns labels from a
+        pixel's 5×5 cell neighbourhood, so every center's members lie in
+        ITS 5×5 neighbourhood and the per-label segment-min becomes 25
+        shifted-plane per-cell reshape-mins — no scatter (segment_min
+        measured 14.6 ms/iter on 512² v5e; this is ~3 ms).  Pass A finds
+        each center's min floor-key, pass B the first (raster) pixel
+        attaining it."""
+        mgrid = means.reshape(per_col, per_row, 5)
+
+        def plane_info(dy, dx):
+            shifted = jnp.roll(mgrid, (-dy, -dx), axis=(0, 1))
+            plane = upsample(shifted)
+            ncy = gy + dy
+            ncx = gx + dx
+            in_range = ((ncy >= 0) & (ncy < per_col)
+                        & (ncx >= 0) & (ncx < per_row))
+            lbl = (ncy * per_row + ncx).astype(jnp.int32)
+            member = in_range & (labels == lbl)
+            d = color_dist(plane[:, :, 2], plane[:, :, 3], plane[:, :, 4],
+                           pix_l, pix_a, pix_b)
+            return member, jnp.floor(d)
+
+        minkey = jnp.full((per_col, per_row), big, jnp.float32)
+        for dy, dx in offsets_5x5:
+            member, key = plane_info(dy, dx)
+            masked = jnp.where(member, key, big)
+            masked = jnp.pad(masked, [(0, pad_y), (0, pad_x)],
+                             constant_values=big)
+            cell = masked.reshape(per_col, sp_size, per_row,
+                                  sp_size).min(axis=(1, 3))
+            minkey = jnp.minimum(minkey, jnp.roll(cell, (dy, dx), axis=(0, 1)))
+
+        first = jnp.full((per_col, per_row), big_i)
+        for dy, dx in offsets_5x5:
+            member, key = plane_info(dy, dx)
+            mk_plane = upsample(
+                jnp.roll(minkey[:, :, None], (-dy, -dx), axis=(0, 1)))[:, :, 0]
+            is_min = member & (key == mk_plane)
+            pick = jnp.where(is_min, flat_index, big_i)
+            pick = jnp.pad(pick, [(0, pad_y), (0, pad_x)],
+                           constant_values=big_i)
+            cell = pick.reshape(per_col, sp_size, per_row,
+                                sp_size).min(axis=(1, 3))
+            first = jnp.minimum(first, jnp.roll(cell, (dy, dx), axis=(0, 1)))
+
+        first = first.reshape(n)
+        has_pixels = first < big_i
         safe = jnp.where(has_pixels, first, 0)
         px = (safe % width).astype(jnp.float32)
         py = (safe // width).astype(jnp.float32)
@@ -438,15 +483,16 @@ class SuperpixelSLIC:
         self._labels = None
 
     def apply(self, image_bgr_u8) -> np.ndarray:
-        image = jnp.asarray(image_bgr_u8)
+        image = np.asarray(image_bgr_u8)  # host-side: only Lab goes to device
         if image.shape[:2] != (self.height, self.width):
             raise ValueError(
                 f"image shape {tuple(image.shape[:2])} does not match "
                 f"({self.height}, {self.width})")
-        # bit-exact OpenCV Lab (host LUTs, ~ms) — the ±1 codes of the float
-        # device conversion compound over k-means iterations into visibly
-        # different basins (boundary recall 0.80 → 0.94 measured on lenna)
-        lab = bgr2lab_u8_exact(np.asarray(image))
+        # bit-exact OpenCV Lab (native/int32 host LUTs, ~ms) — the ±1 codes
+        # of the float device conversion compound over k-means iterations
+        # into visibly different basins (boundary recall 0.80 → 0.94
+        # measured on lenna)
+        lab = bgr2lab_u8_exact(image)
         labels, _, _ = slic_device(jnp.asarray(lab), self.height, self.width,
                                    self.superpixel_size, self.num_iteration,
                                    float(self.color_scale), self.metric)

@@ -17,17 +17,28 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "build", "libvip_native.so"))
 
 
+def _stale() -> bool:
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "src", "vip_native.cpp"))
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return False
+
+
 @functools.cache
 def _lib():
-    if not os.path.exists(_SO_PATH):
+    if not os.path.exists(_SO_PATH) or _stale():
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
+        return None
+    if not hasattr(lib, "vip_bgr2lab_u8"):  # stale build without new entry points
         return None
     lib.vip_ccl_4conn.restype = ctypes.c_int
     lib.vip_ccl_4conn.argtypes = [
@@ -43,6 +54,11 @@ def _lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.vip_bgr2lab_u8.restype = None
+    lib.vip_bgr2lab_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
     lib.vip_slic_merge.restype = None
     lib.vip_slic_merge.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -104,6 +120,28 @@ def component_sums(comp: np.ndarray, img: np.ndarray, ncomp: int):
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
         sums.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return sums
+
+
+def bgr2lab_u8(img: np.ndarray, gamma_tab: np.ndarray, cbrt_tab: np.ndarray,
+               coeffs: np.ndarray):
+    """(..., 3) u8 BGR → (..., 3) u8 Lab via the native exact loop, or None.
+    Tables come from core/colors.py:_lab_tables (int32)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    gamma_tab = np.ascontiguousarray(gamma_tab, np.int32)
+    cbrt_tab = np.ascontiguousarray(cbrt_tab, np.int32)
+    coeffs = np.ascontiguousarray(coeffs, np.int32)
+    out = np.empty_like(img)
+    lib.vip_bgr2lab_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.size // 3,
+        gamma_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cbrt_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
 
 
 def slic_merge(comp: np.ndarray, means: np.ndarray, sizes: np.ndarray,
