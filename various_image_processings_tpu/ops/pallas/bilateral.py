@@ -21,9 +21,14 @@ TPU-native redesign of the CUDA kernels ``bilateral_filter_kernel`` /
   to the fused-XLA formulation (still sub-linear in taps thanks to XLA
   fusion).
 
-Measured on TPU v5e at 4K, k=9: bilateral 955 MP/s, joint bilateral
-827 MP/s (unrolled pallas) vs 365 MP/s (XLA) — all within the reference's
-parity tolerance vs cv::bilateralFilter (±1 u8).
+- off-center taps are processed as {d, −d} PAIRS: the range weight is
+  symmetric and the spatial LUT centrosymmetric, so one weight array
+  (computed on a slightly extended region) feeds both directions —
+  halving the exp and abs-diff work per pixel.
+
+Measured on TPU v5e at 4K, k=9: bilateral 1054 MP/s, joint bilateral
+940 MP/s (pair-symmetric unrolled pallas) vs 365 MP/s (XLA) — all within
+the reference's parity tolerance vs cv::bilateralFilter (±1 u8).
 
 Accumulation is f32 in the reference's (ky, kx) tap order; the final store
 reproduces ``u8(sum/sumk + 0.5f)`` truncation.
@@ -33,6 +38,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from ...core.luts import gauss_coeff_f32
@@ -45,10 +51,11 @@ from ._stencil import (plan_tiles, to_planar_padded, from_planar,
 MAX_UNROLL_TAPS = 120
 
 # live f32 tile-values per unrolled tap, measured by sweeping tile sizes on
-# hardware until Mosaic's scoped-vmem OOM: ~4 for the self variant (k=9 at
-# (32,512) = 955 MP/s at 4K), ~6 for the joint variant's second stream
+# hardware until Mosaic's scoped-vmem OOM (pair-symmetric kernel): ~4 for
+# the self variant (k=9 at (32,512) = 1054 MP/s at 4K; (64,512) overflows),
+# ~5.5 for the joint variant's second stream (k=9 at (32,384) = 940 MP/s)
 _VALS_PER_TAP_SELF = 4.0
-_VALS_PER_TAP_JOINT = 6.0
+_VALS_PER_TAP_JOINT = 5.5
 # k=9 self at (32, 384) measures 12.05 MB scoped and compiles with ~840 MP/s
 # at 4K — 13 MB leaves ~3 MB for in/out blocks inside the 16 MB VMEM
 _VMEM_TEMP_BUDGET = 13 * 1024 * 1024
@@ -64,39 +71,76 @@ def pick_tile(n_taps: int, joint: bool):
     return None
 
 
+def _split_pairs(taps, radius):
+    """Split circle-masked taps into (center_ws, positive-half pairs).
+
+    The range weight is symmetric — ``w(p, p+d) = w(p+d, p)`` — and the
+    spatial LUT is centrosymmetric (``ws(d) = ws(-d)``,
+    include/cpp/bilateral_filter.hpp:17-27 builds it from d²), so every
+    off-center tap d pairs with −d sharing one weight computation."""
+    center_ws = None
+    pairs = []
+    for dy, dx, ws in taps:
+        ty, tx = dy - radius, dx - radius
+        if ty == 0 and tx == 0:
+            center_ws = ws
+        elif (ty > 0) or (ty == 0 and tx > 0):
+            pairs.append((ty, tx, ws))
+    assert center_ws is not None and 2 * len(pairs) + 1 == len(taps)
+    return np.float32(center_ws), pairs
+
+
 def _make_kernel(plan, taps, coeff, joint: bool):
+    """Pair-symmetric unrolled stencil: each weight is computed ONCE per
+    {d, −d} pair on an extended (th+|dy|, tw+|dx|) region covering both the
+    tile and the tile shifted by −d, then accumulated in both directions —
+    halving the exp/abs-diff work per pixel (measured 953 → 1054 MP/s self,
+    697 → 940 MP/s joint at 4K k=9 on v5e).  Accumulation order therefore
+    differs from the reference's (ky, kx) scan by f32 reassociation only
+    (≤1 u8, inside the parity contract)."""
     th, tw, r = plan.th, plan.tw, plan.radius
+    center_ws, pairs = _split_pairs(taps, r)
 
     def compute(src_ref, guide_ref, out_ref):
-        gc0 = guide_ref[0, r : r + th, r : r + tw]
-        gc1 = guide_ref[1, r : r + th, r : r + tw]
-        gc2 = guide_ref[2, r : r + th, r : r + tw]
-        a0 = jnp.zeros((th, tw), jnp.float32)
-        a1 = jnp.zeros((th, tw), jnp.float32)
-        a2 = jnp.zeros((th, tw), jnp.float32)
-        ak = jnp.zeros((th, tw), jnp.float32)
-        for dy, dx, ws in taps:
-            g0 = guide_ref[0, dy : dy + th, dx : dx + tw]
-            g1 = guide_ref[1, dy : dy + th, dx : dx + tw]
-            g2 = guide_ref[2, dy : dy + th, dx : dx + tw]
-            dist = jnp.abs(g0 - gc0) + jnp.abs(g1 - gc1) + jnp.abs(g2 - gc2)
-            wk = ws * jnp.exp(dist * dist * coeff)
-            if joint:
-                s0 = src_ref[0, dy : dy + th, dx : dx + tw]
-                s1 = src_ref[1, dy : dy + th, dx : dx + tw]
-                s2 = src_ref[2, dy : dy + th, dx : dx + tw]
-            else:
-                s0, s1, s2 = g0, g1, g2
-            a0 = a0 + s0 * wk
-            a1 = a1 + s1 * wk
-            a2 = a2 + s2 * wk
-            ak = ak + wk
+        gc = [guide_ref[c, r : r + th, r : r + tw] for c in range(3)]
+        if joint:
+            a = [src_ref[c, r : r + th, r : r + tw] * center_ws
+                 for c in range(3)]
+        else:
+            a = [gc[c] * center_ws for c in range(3)]
+        ak = jnp.full((th, tw), center_ws, jnp.float32)
+        for ty, tx, ws in pairs:
+            mx = max(tx, 0)
+            eh, ew = th + ty, tw + abs(tx)
+            r0, c0 = r - ty, r - mx        # extended-region origin (block)
+            ge = [guide_ref[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(3)]
+            gd = [guide_ref[c, r0 + ty : r0 + ty + eh, c0 + tx : c0 + tx + ew]
+                  for c in range(3)]
+            dist = (jnp.abs(gd[0] - ge[0]) + jnp.abs(gd[1] - ge[1])
+                    + jnp.abs(gd[2] - ge[2]))
+            wk = np.float32(ws) * jnp.exp(dist * dist * coeff)
+            # pixel p of the tile sits at extended index (ty, mx); its pair
+            # partner p−d at (0, mx−tx)
+            w1 = wk[ty : ty + th, mx : mx + tw]
+            c2 = mx - tx
+            w2 = wk[0:th, c2 : c2 + tw]
+            for c in range(3):
+                if joint:
+                    se = src_ref[c, r0 : r0 + eh, c0 : c0 + ew]
+                    s_plus = src_ref[c, r + ty : r + ty + th,
+                                     r + tx : r + tx + tw]
+                else:
+                    se = ge[c]
+                    s_plus = gd[c][ty : ty + th, mx : mx + tw]
+                t2 = (se * wk)[0:th, c2 : c2 + tw]   # s(p−d)·w(p−d, p)
+                a[c] = a[c] + s_plus * w1 + t2
+            ak = ak + w1 + w2
         inv = jnp.float32(1.0) / ak
         half = jnp.float32(0.5)
         # Mosaic has no direct f32→u8 cast; go through int32.
-        out_ref[0] = jnp.floor(a0 * inv + half).astype(jnp.int32).astype(jnp.uint8)
-        out_ref[1] = jnp.floor(a1 * inv + half).astype(jnp.int32).astype(jnp.uint8)
-        out_ref[2] = jnp.floor(a2 * inv + half).astype(jnp.int32).astype(jnp.uint8)
+        for c in range(3):
+            out_ref[c] = (jnp.floor(a[c] * inv + half)
+                          .astype(jnp.int32).astype(jnp.uint8))
 
     if joint:
         return compute
@@ -107,43 +151,57 @@ def _make_kernel(plan, taps, coeff, joint: bool):
     return compute_self
 
 
-def _make_partial_kernel(plan, taps, coeff, joint: bool):
-    """Unrolled stencil over a SUBSET of taps, emitting raw f32 accumulators
-    (3 weighted channel sums + weight sum) instead of the normalized u8 —
-    large stencils split into ≤MAX_UNROLL_TAPS chunks whose partials add in
-    XLA.  Ordering note: within a chunk the f32 accumulation keeps the
-    reference's (ky, kx) order; across chunks the partials add pairwise,
-    which differs from the sequential order by ≤ulps (inside the ±1 u8
-    contract)."""
+def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
+    """Pair-symmetric unrolled stencil over a SUBSET of the tap pairs,
+    emitting raw f32 accumulators (3 weighted channel sums + weight sum)
+    instead of the normalized u8 — large stencils split into chunks whose
+    partials add in XLA.  ``center_ws`` is the center-tap weight for the
+    chunk that carries it (None otherwise).  Ordering note: the pair
+    accumulation and the cross-chunk pairwise adds differ from the
+    reference's sequential (ky, kx) order by f32 reassociation only
+    (inside the ±1 u8 contract)."""
     th, tw, r = plan.th, plan.tw, plan.radius
 
     def compute(src_ref, guide_ref, acc_ref):
-        gc0 = guide_ref[0, r : r + th, r : r + tw]
-        gc1 = guide_ref[1, r : r + th, r : r + tw]
-        gc2 = guide_ref[2, r : r + th, r : r + tw]
-        a0 = jnp.zeros((th, tw), jnp.float32)
-        a1 = jnp.zeros((th, tw), jnp.float32)
-        a2 = jnp.zeros((th, tw), jnp.float32)
-        ak = jnp.zeros((th, tw), jnp.float32)
-        for dy, dx, ws in taps:
-            g0 = guide_ref[0, dy : dy + th, dx : dx + tw]
-            g1 = guide_ref[1, dy : dy + th, dx : dx + tw]
-            g2 = guide_ref[2, dy : dy + th, dx : dx + tw]
-            dist = jnp.abs(g0 - gc0) + jnp.abs(g1 - gc1) + jnp.abs(g2 - gc2)
-            wk = ws * jnp.exp(dist * dist * coeff)
+        gc = [guide_ref[c, r : r + th, r : r + tw] for c in range(3)]
+        if center_ws is not None:
+            cw = np.float32(center_ws)
             if joint:
-                s0 = src_ref[0, dy : dy + th, dx : dx + tw]
-                s1 = src_ref[1, dy : dy + th, dx : dx + tw]
-                s2 = src_ref[2, dy : dy + th, dx : dx + tw]
+                a = [src_ref[c, r : r + th, r : r + tw] * cw
+                     for c in range(3)]
             else:
-                s0, s1, s2 = g0, g1, g2
-            a0 = a0 + s0 * wk
-            a1 = a1 + s1 * wk
-            a2 = a2 + s2 * wk
-            ak = ak + wk
-        acc_ref[0] = a0
-        acc_ref[1] = a1
-        acc_ref[2] = a2
+                a = [gc[c] * cw for c in range(3)]
+            ak = jnp.full((th, tw), cw, jnp.float32)
+        else:
+            a = [jnp.zeros((th, tw), jnp.float32) for _ in range(3)]
+            ak = jnp.zeros((th, tw), jnp.float32)
+        for ty, tx, ws in pairs:
+            mx = max(tx, 0)
+            eh, ew = th + ty, tw + abs(tx)
+            r0, c0 = r - ty, r - mx
+            ge = [guide_ref[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(3)]
+            gd = [guide_ref[c, r0 + ty : r0 + ty + eh, c0 + tx : c0 + tx + ew]
+                  for c in range(3)]
+            dist = (jnp.abs(gd[0] - ge[0]) + jnp.abs(gd[1] - ge[1])
+                    + jnp.abs(gd[2] - ge[2]))
+            wk = np.float32(ws) * jnp.exp(dist * dist * coeff)
+            w1 = wk[ty : ty + th, mx : mx + tw]
+            c2 = mx - tx
+            w2 = wk[0:th, c2 : c2 + tw]
+            for c in range(3):
+                if joint:
+                    se = src_ref[c, r0 : r0 + eh, c0 : c0 + ew]
+                    s_plus = src_ref[c, r + ty : r + ty + th,
+                                     r + tx : r + tx + tw]
+                else:
+                    se = ge[c]
+                    s_plus = gd[c][ty : ty + th, mx : mx + tw]
+                t2 = (se * wk)[0:th, c2 : c2 + tw]
+                a[c] = a[c] + s_plus * w1 + t2
+            ak = ak + w1 + w2
+        acc_ref[0] = a[0]
+        acc_ref[1] = a[1]
+        acc_ref[2] = a[2]
         acc_ref[3] = ak
 
     if joint:
@@ -163,17 +221,20 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
     h, w, _ = src_u8.shape
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
+    center_ws, pairs = _split_pairs(taps, radius)
     # size chunks so a (32, 256) tile fits the VMEM temp budget — small
     # (32, 128) tiles lose more to halo read amplification than fewer
-    # passes save (measured at k=17)
+    # passes save (measured at k=17).  A pair's live temps ≈ two taps'.
     tile = (32, 256)
     per_tap = _VALS_PER_TAP_JOINT if joint else _VALS_PER_TAP_SELF
     per = int(_VMEM_TEMP_BUDGET / (4.0 * per_tap * tile[0] * tile[1]))
     if per < 8:
         return None
-    nchunks = -(-len(taps) // per)
-    per = -(-len(taps) // nchunks)  # balance chunk sizes
-    chunks = [taps[i * per : (i + 1) * per] for i in range(nchunks)]
+    per_pairs = max(per // 2, 4)
+    nchunks = -(-len(pairs) // per_pairs)
+    per_pairs = -(-len(pairs) // nchunks)  # balance chunk sizes
+    chunks = [pairs[i * per_pairs : (i + 1) * per_pairs]
+              for i in range(nchunks)]
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
     src_p = to_planar_padded(src_u8, plan)
@@ -186,14 +247,15 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
     out_shape = jax.ShapeDtypeStruct((4, plan.out_rows, plan.out_cols),
                                      jnp.float32)
     total = None
-    for chunk in chunks:
+    for i, chunk in enumerate(chunks):
         cost = pl.CostEstimate(
-            flops=len(chunk) * 14 * plan.out_rows * plan.out_cols,
+            flops=len(chunk) * 28 * plan.out_rows * plan.out_cols,
             bytes_accessed=(2 if joint else 1) * 3 * plan.padded_rows
             * plan.padded_cols * 4,
             transcendentals=len(chunk) * plan.out_rows * plan.out_cols,
         )
-        acc = stencil_call(_make_partial_kernel(plan, chunk, coeff, joint),
+        cw = center_ws if i == 0 else None
+        acc = stencil_call(_make_partial_kernel(plan, chunk, cw, coeff, joint),
                            plan, in_specs, tile_out_spec(plan, 4), out_shape,
                            cost)(*args)
         total = acc if total is None else total + acc
