@@ -34,13 +34,11 @@ def _gradient_math(s: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("impl",))
 def _gradient_jit(src: jax.Array, impl: str = "xla") -> jax.Array:
-    s = src.astype(jnp.float32)
-    if s.ndim == 2:
-        s = s[:, :, None]
+    s = src if src.ndim == 3 else src[:, :, None]
     if impl == "pallas":
         from .pallas.gradient import gradient_pallas
-        return gradient_pallas(s)
-    return _gradient_math(s)
+        return gradient_pallas(s)   # dtype-preserving HBM→VMEM (u8 or f32)
+    return _gradient_math(s.astype(jnp.float32))
 
 
 def gradient(src, impl: str = "auto") -> jax.Array:

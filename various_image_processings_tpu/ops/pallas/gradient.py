@@ -17,16 +17,21 @@ from ._stencil import (plan_tiles, to_planar_padded, halo_in_spec,
                        stencil_call)
 
 
-def _make_kernel(plan, channels):
+def _make_kernel(plan, channels, in_dtype):
     th, tw = plan.th, plan.tw
+
+    def to_f32(x):
+        if in_dtype == jnp.float32:
+            return x
+        return x.astype(jnp.int32).astype(jnp.float32)  # u8 via i32 (Mosaic)
 
     def kernel(x_ref, o_ref):
         total = jnp.zeros((th, tw), jnp.float32)
         for c in range(channels):
-            up = x_ref[c, 0:th, 1 : 1 + tw]
-            down = x_ref[c, 2 : 2 + th, 1 : 1 + tw]
-            left = x_ref[c, 1 : 1 + th, 0:tw]
-            right = x_ref[c, 1 : 1 + th, 2 : 2 + tw]
+            up = to_f32(x_ref[c, 0:th, 1 : 1 + tw])
+            down = to_f32(x_ref[c, 2 : 2 + th, 1 : 1 + tw])
+            left = to_f32(x_ref[c, 1 : 1 + th, 0:tw])
+            right = to_f32(x_ref[c, 1 : 1 + th, 2 : 2 + tw])
             hd = right - left
             vd = down - up
             total = total + (hd * hd + vd * vd)
@@ -35,19 +40,23 @@ def _make_kernel(plan, channels):
     return kernel
 
 
-def gradient_pallas(src_f32: jax.Array) -> jax.Array:
-    """(H, W, C) f32 → (H, W) f32 gradient magnitude."""
-    h, w, channels = src_f32.shape
+def gradient_pallas(src: jax.Array) -> jax.Array:
+    """(H, W, C) u8|f32 → (H, W) f32 gradient magnitude.  u8 inputs stay u8
+    through HBM→VMEM (4× less input traffic than pre-converting to f32 —
+    the 3×3 stencil is memory-bound) and convert in-register."""
+    h, w, channels = src.shape
+    in_dtype = src.dtype
     plan = plan_tiles(h, w, radius=1)
-    src_p = to_planar_padded(src_f32, plan)
+    src_p = to_planar_padded(src, plan, dtype=in_dtype)
     out_shape = jax.ShapeDtypeStruct((1, plan.out_rows, plan.out_cols), jnp.float32)
+    isz = jnp.dtype(in_dtype).itemsize
     cost = pl.CostEstimate(
         flops=channels * 6 * plan.out_rows * plan.out_cols,
-        bytes_accessed=channels * plan.padded_rows * plan.padded_cols * 4
+        bytes_accessed=channels * plan.padded_rows * plan.padded_cols * isz
         + plan.out_rows * plan.out_cols * 4,
         transcendentals=plan.out_rows * plan.out_cols,
     )
-    out = stencil_call(_make_kernel(plan, channels), plan,
+    out = stencil_call(_make_kernel(plan, channels, in_dtype), plan,
                        [halo_in_spec(plan, channels)],
                        pl.BlockSpec((1, plan.th, plan.tw), lambda i, j: (0, i, j),
                                     memory_space=pltpu.VMEM),
