@@ -32,6 +32,24 @@ def test_pallas_joint_bilateral_vs_golden():
     assert max_diff(actual, expected) <= 1
 
 
+@pytest.mark.parametrize("ksize", [3, 5, 11])
+def test_pallas_bilateral_pair_kernel_other_k(ksize):
+    # the pair-symmetric full-unroll path at other odd k (different pair
+    # sets, even/odd tap-row splits, asymmetric extended regions)
+    src = random_image(41, 57)
+    expected = golden.bilateral_filter(src, ksize, 10.0, 30.0)
+    actual = bilateral_filter(src, ksize, 10.0, 30.0, impl="pallas")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_pallas_joint_pair_kernel_k11():
+    src = random_image(41, 57)
+    guide = random_image(41, 57)[::-1].copy()
+    expected = golden.joint_bilateral_filter(src, guide, 11, 10.0, 30.0)
+    actual = joint_bilateral_filter(src, guide, 11, 10.0, 30.0, impl="pallas")
+    assert max_diff(actual, expected) <= 1
+
+
 def test_pallas_adaptive_bilateral_vs_golden():
     src = random_image(50, 50)
     expected = golden.adaptive_bilateral_filter(src, 9, 10.0, 30.0)

@@ -30,8 +30,10 @@ Measured on TPU v5e at 4K, k=9: bilateral 1054 MP/s, joint bilateral
 940 MP/s (pair-symmetric unrolled pallas) vs 365 MP/s (XLA) — all within
 the reference's parity tolerance vs cv::bilateralFilter (±1 u8).
 
-Accumulation is f32 in the reference's (ky, kx) tap order; the final store
-reproduces ``u8(sum/sumk + 0.5f)`` truncation.
+Accumulation is f32, pairwise-reassociated relative to the reference's
+(ky, kx) tap order (≤1 u8, inside the parity contract — the golden layer
+keeps the exact order); the final store reproduces ``u8(sum/sumk + 0.5f)``
+truncation.
 """
 
 from __future__ import annotations
