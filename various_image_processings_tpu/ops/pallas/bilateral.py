@@ -26,9 +26,10 @@ TPU-native redesign of the CUDA kernels ``bilateral_filter_kernel`` /
   (computed on a slightly extended region) feeds both directions —
   halving the exp and abs-diff work per pixel.
 
-Measured on TPU v5e at 4K, k=9: bilateral 1054 MP/s, joint bilateral
-940 MP/s (pair-symmetric unrolled pallas) vs 365 MP/s (XLA) — all within
-the reference's parity tolerance vs cv::bilateralFilter (±1 u8).
+Measured on TPU v5e at 4K, k=9: bilateral 1152 MP/s, joint bilateral
+1158 MP/s (pair-symmetric unrolled pallas, (32,640) tiles) vs 365 MP/s
+(XLA) — all within the reference's parity tolerance vs
+cv::bilateralFilter (±1 u8).
 
 Accumulation is f32, pairwise-reassociated relative to the reference's
 (ky, kx) tap order (≤1 u8, inside the parity contract — the golden layer
@@ -52,12 +53,17 @@ from ._stencil import (plan_tiles, to_planar_padded, from_planar,
 # beyond this tap count even a (32, 128) tile overflows the VMEM temp budget
 MAX_UNROLL_TAPS = 120
 
-# live f32 tile-values per unrolled tap, measured by sweeping tile sizes on
-# hardware until Mosaic's scoped-vmem OOM (pair-symmetric kernel): ~4 for
-# the self variant (k=9 at (32,512) = 1054 MP/s at 4K; (64,512) overflows),
-# ~5.5 for the joint variant's second stream (k=9 at (32,384) = 940 MP/s)
-_VALS_PER_TAP_SELF = 4.0
-_VALS_PER_TAP_JOINT = 5.5
+# live f32 tile-values per unrolled tap for the pair-symmetric kernel,
+# measured by hardware scoped-vmem OOM brackets.  NOT uniform across k:
+# k=9 (49 taps) fits (32,640) [≤3.99 vals/tap] but k=11 (81 taps) OOMs at
+# (32,384) needing 16.74M [4.20 vals/tap] — larger |dy| offsets mean
+# relatively bigger extended regions.  4.3 is safe across the unroll range;
+# _FAST_TILES pins the hardware-measured best for the common small-k cases
+# (self 1152 MP/s, joint 1158 MP/s at 4K k=9 via the public ops on v5e).
+_VALS_PER_TAP_SELF = 4.3
+_VALS_PER_TAP_JOINT = 4.3
+# n_taps ceiling → measured-good tile (compiles on v5e hardware)
+_FAST_TILES = ((52, (32, 640)),)
 # k=9 self at (32, 384) measures 12.05 MB scoped and compiles with ~840 MP/s
 # at 4K — 13 MB leaves ~3 MB for in/out blocks inside the 16 MB VMEM
 _VMEM_TEMP_BUDGET = 13 * 1024 * 1024
@@ -67,6 +73,9 @@ def pick_tile(n_taps: int, joint: bool):
     """Largest (th, tw) whose unrolled temporaries fit the VMEM budget."""
     per_tap = _VALS_PER_TAP_JOINT if joint else _VALS_PER_TAP_SELF
     budget_elems = _VMEM_TEMP_BUDGET / (4.0 * per_tap * n_taps)
+    for cap, tile in _FAST_TILES:
+        if n_taps <= cap:
+            return tile
     for th, tw in ((64, 512), (32, 512), (32, 384), (32, 256), (32, 128)):
         if th * tw <= budget_elems:
             return th, tw
@@ -96,8 +105,9 @@ def _make_kernel(plan, taps, coeff, joint: bool):
     """Pair-symmetric unrolled stencil: each weight is computed ONCE per
     {d, −d} pair on an extended (th+|dy|, tw+|dx|) region covering both the
     tile and the tile shifted by −d, then accumulated in both directions —
-    halving the exp/abs-diff work per pixel (measured 953 → 1054 MP/s self,
-    697 → 940 MP/s joint at 4K k=9 on v5e).  Accumulation order therefore
+    halving the exp/abs-diff work per pixel (with ref-sliced s(p±d) loads
+    and (32,640) tiles: 953 → 1152 MP/s self, 697 → 1158 MP/s joint at 4K
+    k=9 on v5e).  Accumulation order therefore
     differs from the reference's (ky, kx) scan by f32 reassociation only
     (≤1 u8, inside the parity contract)."""
     th, tw, r = plan.th, plan.tw, plan.radius
@@ -126,16 +136,14 @@ def _make_kernel(plan, taps, coeff, joint: bool):
             w1 = wk[ty : ty + th, mx : mx + tw]
             c2 = mx - tx
             w2 = wk[0:th, c2 : c2 + tw]
+            sref = src_ref if joint else guide_ref
             for c in range(3):
-                if joint:
-                    se = src_ref[c, r0 : r0 + eh, c0 : c0 + ew]
-                    s_plus = src_ref[c, r + ty : r + ty + th,
-                                     r + tx : r + tx + tw]
-                else:
-                    se = ge[c]
-                    s_plus = gd[c][ty : ty + th, mx : mx + tw]
-                t2 = (se * wk)[0:th, c2 : c2 + tw]   # s(p−d)·w(p−d, p)
-                a[c] = a[c] + s_plus * w1 + t2
+                # s(p±d) straight from the halo block (tile-sized ref loads;
+                # multiplying the extended wk and value-slicing the product
+                # costs 3 extra ext muls + 3 slice relayouts per pair)
+                s_plus = sref[c, r + ty : r + ty + th, r + tx : r + tx + tw]
+                s_minus = sref[c, r - ty : r - ty + th, r - tx : r - tx + tw]
+                a[c] = a[c] + s_plus * w1 + s_minus * w2
             ak = ak + w1 + w2
         inv = jnp.float32(1.0) / ak
         half = jnp.float32(0.5)
@@ -190,16 +198,11 @@ def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
             w1 = wk[ty : ty + th, mx : mx + tw]
             c2 = mx - tx
             w2 = wk[0:th, c2 : c2 + tw]
+            sref = src_ref if joint else guide_ref
             for c in range(3):
-                if joint:
-                    se = src_ref[c, r0 : r0 + eh, c0 : c0 + ew]
-                    s_plus = src_ref[c, r + ty : r + ty + th,
-                                     r + tx : r + tx + tw]
-                else:
-                    se = ge[c]
-                    s_plus = gd[c][ty : ty + th, mx : mx + tw]
-                t2 = (se * wk)[0:th, c2 : c2 + tw]
-                a[c] = a[c] + s_plus * w1 + t2
+                s_plus = sref[c, r + ty : r + ty + th, r + tx : r + tx + tw]
+                s_minus = sref[c, r - ty : r - ty + th, r - tx : r - tx + tw]
+                a[c] = a[c] + s_plus * w1 + s_minus * w2
             ak = ak + w1 + w2
         acc_ref[0] = a[0]
         acc_ref[1] = a[1]
