@@ -38,12 +38,13 @@ def _pick_tile(n_taps: int, width: int):
     """Width-aware tile choice, measured on hardware (k=9, chain-slope):
     whole-width tiles kill the halo/alignment padding waste on narrow
     images (lenna 512²: (32,512) → 931 MP/s vs ~360 with a 384 tile that
-    pads 512→768 columns); at 4K all of (32,256/384/512) measure ~850 MP/s
-    within tunnel variance (medians 858/849/844 over interleaved reps)."""
+    pads 512→768 columns); at 4K (32,640) measures 962 MP/s vs ~857 for
+    (32,384/512) (same-process interleaved)."""
     from ...core.pad import round_up
     budget_elems = _VMEM_TEMP_BUDGET / (4.0 * _VALS_PER_TAP * n_taps)
     w128 = round_up(width, 128)
-    cands = ([(32, w128)] if w128 <= 512 else []) + [(32, 384), (32, 256),
+    cands = ([(32, w128)] if w128 <= 512 else []) + [(32, 640), (32, 512),
+                                                     (32, 384), (32, 256),
                                                      (32, 128)]
     for th, tw in cands:
         if th * tw <= budget_elems:

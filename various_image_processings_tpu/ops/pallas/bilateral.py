@@ -218,7 +218,8 @@ def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
     return compute_self
 
 
-def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
+def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
+               tile=(32, 512)):
     """Mid-size stencils (MAX_UNROLL < taps ≤ a few×MAX_UNROLL): several
     fully-unrolled partial-accumulator kernels + an XLA combine — measured
     ~2.5× the throughput of the rolled chunked kernel at k=17 (the rolls
@@ -227,10 +228,10 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
     center_ws, pairs = _split_pairs(taps, radius)
-    # size chunks so a (32, 256) tile fits the VMEM temp budget — small
-    # (32, 128) tiles lose more to halo read amplification than fewer
-    # passes save (measured at k=17).  A pair's live temps ≈ two taps'.
-    tile = (32, 256)
+    # size chunks so the tile fits the VMEM temp budget — smaller tiles
+    # lose more to halo read amplification than fewer passes save (k=17
+    # joint at 600×900: (32,512) 2.35 ms vs (32,256) 3.04, (32,640) OOMs).
+    # A pair's live temps ≈ two taps'.
     per_tap = _VALS_PER_TAP_JOINT if joint else _VALS_PER_TAP_SELF
     per = int(_VMEM_TEMP_BUDGET / (4.0 * per_tap * tile[0] * tile[1]))
     if per < 8:
