@@ -244,7 +244,6 @@ void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
         nb.insert(nb.end(), nc.begin(), nc.end());
         nc.clear();
         nc.shrink_to_fit();
-        cand.clear();
     }
     for (int32_t c = 0; c < ncomp; c++) mapping_out[c] = find(c);
 }

@@ -32,8 +32,10 @@ def _lib():
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            if not os.path.exists(_SO_PATH):
-                return None
+            # never load a stale .so: its arithmetic may predate the current
+            # source, silently breaking native/fallback parity — fall back
+            # to the pure-Python paths instead
+            return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
