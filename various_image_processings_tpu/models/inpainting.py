@@ -53,8 +53,8 @@ Known divergences from the strictly sequential reference, kept deliberately
   makes the MXU batching work.  Border-hole fills can therefore pick a
   different exemplar (both picks minimize the same masked SSD);
 - on exemplar-search failure mid-pass (every candidate window intersects the
-  hole), ``_fill_pass`` returns the ORIGINAL image and discards partial
-  fills; the reference commits the partially-filled buffer (energy −1 passes
+  hole), the pass's partial fill is DISCARDED (energy −1 → the caller keeps
+  its current image); the reference commits the partially-filled buffer (energy −1 passes
   its ``current_energy <= new_energy`` check, :43-49).  Deliberate: a partial
   commit leaves u8 garbage in unfilled pixels that the next pyramid level
   upsamples into the image, whereas discarding keeps the level's input
@@ -296,14 +296,12 @@ def _boundary_ring(rem, height, width):
     return (rem > 0) & (neigh > 0)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "initial",
-                                              "cap", "bbox"))
-def _fill_pass_device(image_u8, remained0, weight, height, width,
-                      initial: bool, cap: int = RING_CAP,
-                      bbox: tuple | None = None):
-    """One exemplar_based_inpainting pass (reference :271-322) as a single
-    XLA program: lax.while_loop peels ≤cap boundary targets per iteration.
-    Returns (filled u8 image, energy f32 — −1.0 on search failure).
+def _pass_core(img_f, rem_f, weight, height, width,
+               initial: bool, cap: int, bbox: tuple | None):
+    """One exemplar_based_inpainting pass (reference :271-322) as traced
+    jax code over f32 state: lax.while_loop peels ≤cap boundary targets per
+    iteration.  Returns (filled f32 image, energy f32 — −1.0 on search
+    failure, in which case the partial fill must be discarded).
 
     bbox: static (y0, y1, x0, x1) hole bounding box with a 1-pixel margin
     (host-computed from the mask).  The hole never grows, so the boundary
@@ -346,11 +344,60 @@ def _fill_pass_device(image_u8, remained0, weight, height, width,
         rem_box = jax.lax.slice(rem, (by0, bx0), (by1, bx1))
         return (jnp.sum(rem_box) > 0) & ~fail
 
-    carry0 = (image_u8.astype(jnp.float32), remained0.astype(jnp.float32),
-              jnp.float32(0.0), jnp.bool_(False))
+    carry0 = (img_f, rem_f, jnp.float32(0.0), jnp.bool_(False))
     img_f, _, energy, fail = jax.lax.while_loop(cond, body, carry0)
-    filled = jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8)
-    return filled, jnp.where(fail, jnp.float32(-1.0), energy)
+    return img_f, jnp.where(fail, jnp.float32(-1.0), energy)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "initial",
+                                              "cap", "bbox"))
+def _fill_pass_device(image_u8, remained0, weight, height, width,
+                      initial: bool, cap: int = RING_CAP,
+                      bbox: tuple | None = None):
+    """One pass, u8 in/out (see _pass_core)."""
+    img_f, energy = _pass_core(image_u8.astype(jnp.float32),
+                               remained0.astype(jnp.float32), weight,
+                               height, width, initial, cap, bbox)
+    return jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8), energy
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "max_loop",
+                                              "cap", "bbox"))
+def _energy_loops_device(image_u8, remained0, weight, height, width,
+                         max_loop: int, cap: int = RING_CAP,
+                         bbox: tuple | None = None):
+    """The whole per-level energy-minimisation loop (reference :40-50) as
+    ONE device program: ≤max_loop non-initial passes, committing a pass's
+    fill only when its weighted energy strictly decreased, stopping on the
+    first non-decrease or search failure (whose partial fill is discarded,
+    PARITY.md D4).  Returns (final u8 image, energies (max_loop,) f32 —
+    NaN for passes that never ran).  One scalar sync per LEVEL instead of
+    per pass: each pass previously cost an axon round-trip (~28 ms × up to
+    5 passes × levels)."""
+    rem_f = remained0.astype(jnp.float32)
+    energies0 = jnp.full((max_loop,), jnp.nan, jnp.float32)
+
+    def body(carry):
+        img_f, cur_e, i, stop, energies = carry
+        cand_f, e = _pass_core(img_f, rem_f, weight, height, width,
+                               False, cap, bbox)
+        energies = energies.at[i].set(e)
+        fail = e < 0
+        nondecr = cur_e <= e
+        commit = jnp.logical_not(fail | nondecr)
+        # a pass mutates hole pixels only, so committing is taking cand_f
+        img_f = jnp.where(commit, cand_f, img_f)
+        cur_e = jnp.where(commit, e, cur_e)
+        return img_f, cur_e, i + 1, stop | fail | nondecr, energies
+
+    def cond(carry):
+        _, _, i, stop, _ = carry
+        return (i < max_loop) & jnp.logical_not(stop)
+
+    carry0 = (image_u8.astype(jnp.float32), jnp.float32(np.inf),
+              jnp.int32(0), jnp.bool_(False), energies0)
+    img_f, _, _, _, energies = jax.lax.while_loop(cond, body, carry0)
+    return jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8), energies
 
 
 # ---------------------------------------------------------------------------
@@ -388,30 +435,27 @@ class WexlerInpainting:
             masks.append(np.array(pyr_down(masks[-1])))
         return srcs, masks
 
-    def _fill_pass(self, image: np.ndarray, mask: np.ndarray,
-                   weight: np.ndarray, initial: bool):
-        """One exemplar_based_inpainting pass (reference :271-322).
-        Returns (filled image, total energy) or energy −1 on failure.
-        One device dispatch + one download — the whole onion-peel loop runs
-        in ``_fill_pass_device``."""
-        h, w = mask.shape
-        hole = mask > 0
+    @staticmethod
+    def _hole_bbox(hole: np.ndarray):
+        h, w = hole.shape
         ys, xs = np.nonzero(hole)
         if len(ys) == 0:
-            bbox = (0, 1, 0, 1)
-        else:
-            bbox = (max(int(ys.min()) - 1, 0), min(int(ys.max()) + 2, h),
-                    max(int(xs.min()) - 1, 0), min(int(xs.max()) + 2, w))
-        filled, energy = _fill_pass_device(
-            jnp.asarray(image), jnp.asarray(hole.astype(np.float32)),
-            jnp.asarray(weight.astype(np.float32)), h, w, initial,
-            bbox=bbox)
-        energy = float(energy)
-        if energy < 0:
-            return image, -1.0  # exemplar not found (:308-311) — discard
-        # np.array copy: np.asarray of a jax array is read-only and the
-        # level loop mutates the pyramid levels in place
-        return np.array(filled), energy
+            return (0, 1, 0, 1)
+        return (max(int(ys.min()) - 1, 0), min(int(ys.max()) + 2, h),
+                max(int(xs.min()) - 1, 0), min(int(xs.max()) + 2, w))
+
+    def _fill_pass(self, image_dev, hole_dev, weight_dev, bbox, initial: bool):
+        """One exemplar_based_inpainting pass (reference :271-322) on
+        DEVICE-RESIDENT state.  Returns (filled device image, float energy —
+        −1.0 on failure, in which case the caller keeps its current image:
+        the discard-partial-fill semantics of PARITY.md D4).  The only
+        host↔device traffic per pass is the scalar energy readback — the
+        per-pass image upload/download cost ~0.5 s of the mosaic_dog total
+        through the axon tunnel before this."""
+        h, w = hole_dev.shape
+        filled, energy = _fill_pass_device(image_dev, hole_dev, weight_dev,
+                                           h, w, initial, bbox=bbox)
+        return filled, float(energy)  # scalar sync: the pass is complete
 
     def apply(self, src, mask) -> np.ndarray:
         """(H, W, 3) u8 image + (H, W) u8 mask (hole > 0) → (H, W, 3) u8."""
@@ -441,27 +485,36 @@ class WexlerInpainting:
 
         for layer in range(start_layer, -1, -1):
             self._log(f"Layer {layer}...")
-            weight = calculate_weight(masks[layer] > 0)
+            hole = masks[layer] > 0
+            weight = calculate_weight(hole)
+            bbox = self._hole_bbox(hole)
+            # device-resident level state: upload once per layer, download
+            # once at the end; each pass syncs only the scalar energy
+            img_dev = jnp.asarray(srcs[layer])
+            hole_dev = jnp.asarray(hole.astype(np.float32))
+            weight_dev = jnp.asarray(weight.astype(np.float32))
 
             if do_initial:
-                filled, energy = self._fill_pass(srcs[layer], masks[layer],
-                                                 weight, initial=True)
+                filled, energy = self._fill_pass(img_dev, hole_dev,
+                                                 weight_dev, bbox,
+                                                 initial=True)
                 if energy < 0:
                     self._log(f"failed to inpaint layer {layer}")
                 else:
-                    srcs[layer] = filled
+                    img_dev = filled
                     do_initial = False
 
-            current_energy = np.inf
-            for loop in range(self.max_loop):
-                candidate, energy = self._fill_pass(srcs[layer], masks[layer],
-                                                    weight, initial=False)
-                self._log(f"  loop {loop + 1}: energy {energy}")
-                if current_energy <= energy:
-                    break
-                current_energy = energy
-                hole = masks[layer] > 0
-                srcs[layer][hole] = candidate[hole]
+            # the whole ≤max_loop energy loop runs on device; the energies
+            # come back for logging in one sync with the final image
+            img_dev, energies = _energy_loops_device(
+                img_dev, hole_dev, weight_dev, *hole.shape,
+                max_loop=self.max_loop, bbox=bbox)
+            srcs[layer] = np.array(img_dev)
+            if self.verbose:
+                for i, e in enumerate(np.asarray(energies)):
+                    if np.isnan(e):
+                        break
+                    self._log(f"  loop {i + 1}: energy {e}")
 
             if layer > 0:
                 up = np.asarray(pyr_up(srcs[layer],
