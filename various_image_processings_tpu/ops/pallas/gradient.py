@@ -46,7 +46,10 @@ def gradient_pallas(src: jax.Array) -> jax.Array:
     the 3×3 stencil is memory-bound) and convert in-register."""
     h, w, channels = src.shape
     in_dtype = src.dtype
-    plan = plan_tiles(h, w, radius=1)
+    # (128, 2048) measured 4.75 ms vs 7.10 at (128, 1024) on 4K v5e (the
+    # 3×3 halo DMA amortizes over wider blocks); (256, 2048) OOMs the
+    # 16 MB scoped vmem (~4 f32 temps per channel per tile element)
+    plan = plan_tiles(h, w, radius=1, th=128, tw=2048)
     src_p = to_planar_padded(src, plan, dtype=in_dtype)
     out_shape = jax.ShapeDtypeStruct((1, plan.out_rows, plan.out_cols), jnp.float32)
     isz = jnp.dtype(in_dtype).itemsize
