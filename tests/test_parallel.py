@@ -156,6 +156,43 @@ def test_sharded_btf_bit_exact(spatial, nitr):
     np.testing.assert_array_equal(out, single)
 
 
+def test_sharded_pallas_impl_bit_exact():
+    # impl="pallas" now runs the actual Pallas stage kernels under shard_map
+    # (interpret mode on the CPU mesh) — must match the single-device pallas
+    # op exactly (round 2 fell back to xla math here; the "40× shard_map ×
+    # Pallas" overhead was an eager-dispatch artifact, diag_shardmap.py)
+    img = batch_images(1, 64, 48)[0]
+    mesh = make_mesh(batch=1, spatial=2)
+    out = np.asarray(bilateral_filter_sharded(img, 5, 10.0, 30.0, mesh=mesh,
+                                              impl="pallas"))
+    single = np.asarray(bilateral_filter(img, 5, 10.0, 30.0, impl="pallas"))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_sharded_btf_pallas_impl_bit_exact():
+    from various_image_processings_tpu.parallel.spatial import (
+        bilateral_texture_filter_sharded)
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        bilateral_texture_filter)
+    img = batch_images(1, 64, 48)[0]
+    mesh = make_mesh(batch=1, spatial=2)
+    out = np.asarray(bilateral_texture_filter_sharded(img, ksize=3, nitr=1,
+                                                      mesh=mesh, impl="pallas"))
+    single = np.asarray(bilateral_texture_filter(img, 3, 1, impl="pallas"))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_batched_pallas_impl_matches_single():
+    imgs = batch_images(4, 40, 40)
+    mesh = make_mesh(batch=4, spatial=1)
+    out = np.asarray(bilateral_filter_batched(imgs, 5, 10.0, 30.0, mesh=mesh,
+                                              impl="pallas"))
+    for i in range(4):
+        single = np.asarray(bilateral_filter(imgs[i], 5, 10.0, 30.0,
+                                             impl="pallas"))
+        np.testing.assert_array_equal(out[i], single)
+
+
 def test_batched_abf_and_gradient():
     from various_image_processings_tpu.parallel import (
         adaptive_bilateral_filter_batched, gradient_batched)

@@ -17,6 +17,9 @@
 //   integral   in(H*W*3 u8) out((H+2r+1)*(W+2r+1)*3 i32)  args: radius
 //   btf        in(H*W*3 u8) out(H*W*3 u8)   args: ksize nitr   (cpp path,
 //              cv::ximgproc::jointBilateralFilter)
+//   jbf_cpp    in(2*H*W*3 u8: src,joint) out(H*W*3 u8)  args: d sc ss —
+//              direct cv::ximgproc::jointBilateralFilter call (the cpp BTF
+//              final stage, include/cpp/bilateral_texture_filter.hpp:162)
 //   wexler     in(H*W*3 u8 src + H*W u8 mask) out(H*W*3 u8)
 //   wexler_contour  in(H*W*3 u8 src + H*W u8 mask)
 //              out(N*3 i32: x, y, priority in pop order) — N = contour length
@@ -150,6 +153,15 @@ int main(int argc, char** argv) {
         cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
         cv::Mat3b dst;
         bilateral_texture_filter(src, dst, ksize, nitr);
+        write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "jbf_cpp") {
+        const int d = argc > 6 ? std::atoi(argv[6]) : 17;
+        const double sc = argc > 7 ? std::atof(argv[7]) : std::sqrt(3.0);
+        const double ss = argc > 8 ? std::atof(argv[8]) : 8.0;
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        cv::Mat3b joint(h, w, (cv::Vec3b*)(in.data() + (size_t)h * w * 3));
+        cv::Mat dst;
+        cv::ximgproc::jointBilateralFilter(joint, src, dst, d, sc, ss);
         write_file(out_path, dst.data, (size_t)h * w * 3);
     } else if (op == "wexler") {
         cv::Mat3b src(h, w, (cv::Vec3b*)in.data());

@@ -43,15 +43,34 @@ def nonzero_taps(ksize: int, sigma_space: float):
     return taps
 
 
+def _pad2d(x: jax.Array, r: int, border: str) -> jax.Array:
+    if border == "replicate":
+        return replicate_pad(x, r, r, r, r)
+    # reflect-101 (cv BORDER_DEFAULT): edge pixel not repeated — what
+    # cv::ximgproc::jointBilateralFilter uses (probed bit-exact against the
+    # compiled oracle, tests/test_reference_oracle.py::test_jbf_cpp_variant)
+    return jnp.pad(x, [(r, r), (r, r)] + [(0, 0)] * (x.ndim - 2),
+                   mode="reflect")
+
+
 def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
-                    sigma_space: float, sigma_color: float) -> jax.Array:
-    """src_f/guide_f: (H, W, 3) f32 holding u8 values → (H, W, 3) u8."""
+                    sigma_space: float, sigma_color: float,
+                    border: str = "replicate",
+                    rounding: str = "trunc") -> jax.Array:
+    """src_f/guide_f: (H, W, 3) f32 holding u8 values → (H, W, 3) u8.
+
+    border/rounding select between the reference's own JBF semantics
+    (replicate pad + ``u8(x + 0.5f)`` truncation) and
+    cv::ximgproc::jointBilateralFilter's (reflect-101 pad + cvRound
+    half-to-even) — the ONLY two places the reference's cpp and CUDA BTF
+    paths actually differ (their interior tap math is identical; probed
+    against the compiled oracle)."""
     h, w, _ = src_f.shape
     radius = ksize // 2
     coeff = gauss_coeff_f32(sigma_color)
 
-    src_p = replicate_pad(src_f, radius, radius, radius, radius)
-    guide_p = replicate_pad(guide_f, radius, radius, radius, radius)
+    src_p = _pad2d(src_f, radius, border)
+    guide_p = _pad2d(guide_f, radius, border)
     guide_c = guide_f
 
     sums = jnp.zeros((h, w, 3), jnp.float32)
@@ -63,8 +82,10 @@ def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
         wk = ws * jnp.exp(dist * dist * coeff)
         sums = sums + sp * wk[:, :, None]
         sumk = sumk + wk
-    out = sums / sumk[:, :, None] + jnp.float32(0.5)
-    return jnp.floor(out).astype(jnp.uint8)
+    out = sums / sumk[:, :, None]
+    if rounding == "rint":
+        return jnp.rint(out).astype(jnp.uint8)
+    return jnp.floor(out + jnp.float32(0.5)).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "sigma_space", "sigma_color", "impl"))

@@ -25,7 +25,17 @@ def batched_apply(fn, images, mesh: Mesh):
     divisible by the mesh's batch-axis size.  Images stay sharded on device;
     the per-chip batch runs as an unrolled loop (the ops saturate a chip on
     their own, and lax.map's scan machinery adds ~20× overhead around the
-    Pallas calls on TPU)."""
+    Pallas calls on TPU).
+
+    The shard_map is wrapped in jit: jitted shard_map around Pallas calls is
+    free on the current runtime (measured at 4K k=9 on v5e: plain jit
+    7.35 ms vs jit(shard_map) 7.17 ms; 8×512² batch loop 1.66 vs 1.67 ms —
+    benchmarks/diag_shardmap.py).  Round 2's "~40× shard_map overhead" was an
+    EAGER shard_map artifact: un-jitted shard_map runs its body op-by-op,
+    each eager dispatch costing ~5 ms through the axon tunnel.
+
+    NB: the jit closure is created per call — prefer the cached `*_batched`
+    wrappers for hot loops."""
     import jax.numpy as jnp
 
     b = images.shape[0]
@@ -33,19 +43,9 @@ def batched_apply(fn, images, mesh: Mesh):
     if b % nbatch != 0:
         raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
 
-    if nbatch == 1:
-        # single-device batch axis: skip shard_map entirely — wrapping Pallas
-        # custom calls in shard_map costs ~40× on the TPU runtime measured
-        # (plain unrolled jit hits single-image throughput exactly).
-        # NB: the jit closure is created per call — prefer the cached
-        # `*_batched` wrappers (or make_batched) for hot loops.
-        @jax.jit
-        def run_local(local):
-            return jnp.stack([fn(local[i]) for i in range(local.shape[0])])
-        return run_local(images)
-
     spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
 
+    @jax.jit
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
                        out_specs=spec, check_vma=False)
     def run(local):
@@ -54,30 +54,40 @@ def batched_apply(fn, images, mesh: Mesh):
     return run(images)
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_single_device_runner(op: str, params: tuple, impl: str):
-    """One jit runner per (op, params, impl): re-creating the jit closure per
-    call would retrace/recompile every invocation (measured 5-40× slowdowns).
-    jax.jit itself specializes per input shape, so one runner serves all
-    batch sizes."""
-    import jax.numpy as jnp
-
+def _single_image_fn(op: str, params: tuple, impl: str):
     if op == "bilateral":
         from ..ops.bilateral import _bf_jit
-        single = lambda img: _bf_jit(img, *params, impl)
+        return lambda img: _bf_jit(img, *params, impl)
     elif op == "btf":
         from ..ops.bilateral_texture import _btf_jit
-        single = lambda img: _btf_jit(img, *params, impl)
+        return lambda img: _btf_jit(img, *params, impl)
     elif op == "abf":
         from ..ops.adaptive_bilateral import _abf_jit
-        single = lambda img: _abf_jit(img, *params, impl)
+        return lambda img: _abf_jit(img, *params, impl)
     elif op == "gradient":
         from ..ops.gradient import _gradient_jit
-        single = lambda img: _gradient_jit(img, impl=impl)
-    else:
-        raise ValueError(op)
+        return lambda img: _gradient_jit(img, impl=impl)
+    raise ValueError(op)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_batched_runner(op: str, params: tuple, impl: str, mesh: Mesh,
+                           ndim: int):
+    """One jitted shard_map runner per (op, params, impl, mesh, rank):
+    re-creating the closure per call would retrace every invocation
+    (measured 5-40× slowdowns).  jax.jit specializes per input shape, so one
+    runner serves all batch sizes.  The shard_map sits INSIDE the jit —
+    eager shard_map runs its body op-by-op (~5 ms per dispatch through the
+    axon tunnel, the source of round 2's "40× overhead"); jitted it matches
+    plain-jit Pallas throughput exactly (benchmarks/diag_shardmap.py)."""
+    import jax.numpy as jnp
+
+    single = _single_image_fn(op, params, impl)
+    spec = P(BATCH_AXIS, *([None] * (ndim - 1)))
 
     @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=P(BATCH_AXIS), check_vma=False)
     def run(local):
         return jnp.stack([single(local[i]) for i in range(local.shape[0])])
 
@@ -94,14 +104,7 @@ def _dispatch_batched(op, params, images, mesh, impl):
     if images.shape[0] % nbatch != 0:
         raise ValueError(
             f"batch {images.shape[0]} not divisible by mesh batch axis {nbatch}")
-    runner = _cached_single_device_runner(op, params, impl)
-    if nbatch == 1:
-        return runner(images)
-    spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
-    # out spec: batch axis sharded, remaining dims (whatever rank the op
-    # returns) replicated
-    return shard_map(runner, mesh=mesh, in_specs=(spec,),
-                     out_specs=P(BATCH_AXIS), check_vma=False)(images)
+    return _cached_batched_runner(op, params, impl, mesh, images.ndim)(images)
 
 
 def bilateral_filter_batched(images, ksize: int = 9, sigma_space: float = 10.0,
@@ -137,12 +140,16 @@ def gradient_batched(images, mesh: Mesh | None = None, impl: str = "auto"):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_jbf_runner(params: tuple, impl: str):
+def _cached_jbf_runner(params: tuple, impl: str, mesh: Mesh, ndim: int):
     import jax.numpy as jnp
 
     from ..ops.bilateral import _jbf_jit
 
+    spec = P(BATCH_AXIS, *([None] * (ndim - 1)))
+
     @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=P(BATCH_AXIS), check_vma=False)
     def run(local, local_guide):
         return jnp.stack([_jbf_jit(local[i], local_guide[i], *params, impl)
                           for i in range(local.shape[0])])
@@ -168,12 +175,9 @@ def joint_bilateral_filter_batched(images, guides, ksize: int = 9,
         raise ValueError(
             f"batch {images.shape[0]} not divisible by mesh batch axis {nbatch}")
     runner = _cached_jbf_runner(
-        (int(ksize), float(sigma_space), float(sigma_color)), impl)
-    if nbatch == 1:
-        return runner(images, guides)
-    spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
-    return shard_map(runner, mesh=mesh, in_specs=(spec, spec),
-                     out_specs=P(BATCH_AXIS), check_vma=False)(images, guides)
+        (int(ksize), float(sigma_space), float(sigma_color)), impl, mesh,
+        images.ndim)
+    return runner(images, guides)
 
 
 def superpixel_slic_batched(images, superpixel_size: int = 30,
@@ -204,9 +208,9 @@ def superpixel_slic_batched(images, superpixel_size: int = 30,
         if b % nbatch != 0:
             raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
         spec = P(BATCH_AXIS, None, None, None)
-        labels_dev = shard_map(device_fn, mesh=mesh, in_specs=(spec,),
-                               out_specs=P(BATCH_AXIS), check_vma=False)(
-                                   jnp.asarray(lab))
+        labels_dev = jax.jit(shard_map(
+            device_fn, mesh=mesh, in_specs=(spec,),
+            out_specs=P(BATCH_AXIS), check_vma=False))(jnp.asarray(lab))
     else:
         labels_dev = device_fn(jnp.asarray(lab))
     labels_np = np.asarray(labels_dev)
@@ -269,6 +273,7 @@ def bilateral_filter_batch_spatial(images, ksize: int = 9,
         raise ValueError(f"shard height {h // d} smaller than halo {radius}")
     spec = P(BATCH_AXIS, SPATIAL_AXIS, None, None)
 
+    @jax.jit
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
                        out_specs=spec, check_vma=False)
     def run(local):  # (b_local, h_local, W, 3)

@@ -45,6 +45,60 @@ def halo_exchange_rows(block: jax.Array, radius: int, axis_name: str,
     return jnp.concatenate([top, block, bot], axis=0)
 
 
+def _make_stencil_runner(fn_full, radius: int, mesh: Mesh, in_ndims,
+                         out_ndim: int):
+    """jit(shard_map(...)) runner for a row-sharded stencil op.  The
+    shard_map sits INSIDE the jit: eager shard_map runs its body op-by-op
+    (~5 ms per dispatch through the axon tunnel — the source of round 2's
+    "40× shard_map × Pallas overhead"); jitted, shard_map around Pallas
+    matches plain-jit throughput exactly (benchmarks/diag_shardmap.py)."""
+    d = mesh.shape[SPATIAL_AXIS]
+    in_specs = tuple(P(SPATIAL_AXIS, *([None] * (nd - 1))) for nd in in_ndims)
+    out_spec = P(SPATIAL_AXIS, *([None] * (out_ndim - 1)))
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_vma=False)
+    def run(local, *local_extras):
+        padded = halo_exchange_rows(local, radius, SPATIAL_AXIS, d)
+        padded_extras = [halo_exchange_rows(e, radius, SPATIAL_AXIS, d)
+                         for e in local_extras]
+        out = fn_full(padded, *padded_extras)
+        return out[radius : radius + local.shape[0]]
+
+    return run
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_stencil_runner(op: str, params: tuple, impl: str, mesh: Mesh,
+                           radius: int, in_ndims: tuple, out_ndim: int):
+    """One jitted runner per (op, params, impl, mesh, ranks) — re-creating
+    the shard_map closure per call would retrace every invocation."""
+    if op == "bf":
+        from ..ops.bilateral import _bf_jit
+        fn = lambda blk: _bf_jit(blk, *params, impl)
+    elif op == "jbf":
+        from ..ops.bilateral import _jbf_jit
+        fn = lambda blk, gd: _jbf_jit(blk, gd, *params, impl)
+    elif op == "abf":
+        from ..ops.adaptive_bilateral import _abf_jit
+        fn = lambda blk: _abf_jit(blk, *params, impl)
+    elif op == "gradient":
+        from ..ops.gradient import _gradient_jit
+        fn = lambda blk: _gradient_jit(blk, impl=impl)
+    else:
+        raise ValueError(op)
+    return _make_stencil_runner(fn, radius, mesh, in_ndims, out_ndim)
+
+
+def _check_shardable(h: int, radius: int, mesh: Mesh):
+    d = mesh.shape[SPATIAL_AXIS]
+    if h % d != 0:
+        raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
+    if h // d < radius:
+        raise ValueError(f"shard height {h // d} smaller than halo {radius}")
+
+
 def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
                           out_ndim: int | None = None, extras=()):
     """Run a replicate-padded stencil op on a row-sharded image.
@@ -57,27 +111,14 @@ def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
     (defaults to the image's rank).  extras: additional row-aligned arrays
     (e.g. a guide image) sharded and halo-exchanged the same way, passed to
     fn_full after the image.
+
+    Generic path: builds a fresh jitted runner each call (retraces).  The
+    per-op wrappers below go through a cached runner instead.
     """
-    d = mesh.shape[SPATIAL_AXIS]
-    h = image.shape[0]
-    if h % d != 0:
-        raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
-    if h // d < radius:
-        raise ValueError(f"shard height {h // d} smaller than halo {radius}")
-    spec = P(SPATIAL_AXIS, *([None] * (image.ndim - 1)))
-    in_specs = (spec,) + tuple(
-        P(SPATIAL_AXIS, *([None] * (e.ndim - 1))) for e in extras)
-    out_spec = P(SPATIAL_AXIS, *([None] * ((out_ndim or image.ndim) - 1)))
-
-    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_spec, check_vma=False)
-    def run(local, *local_extras):
-        padded = halo_exchange_rows(local, radius, SPATIAL_AXIS, d)
-        padded_extras = [halo_exchange_rows(e, radius, SPATIAL_AXIS, d)
-                         for e in local_extras]
-        out = fn_full(padded, *padded_extras)
-        return out[radius : radius + local.shape[0]]
-
+    _check_shardable(image.shape[0], radius, mesh)
+    in_ndims = (image.ndim,) + tuple(e.ndim for e in extras)
+    run = _make_stencil_runner(fn_full, radius, mesh, in_ndims,
+                               out_ndim or image.ndim)
     return run(image, *extras)
 
 
@@ -93,14 +134,15 @@ def bilateral_filter_sharded(image, ksize: int = 9, sigma_space: float = 10.0,
                              impl: str = "auto"):
     """(H, W, 3) u8 → (H, W, 3) u8, rows sharded over the mesh's spatial
     axis with ppermute halo exchange. Bit-identical to the single-device op."""
-    from ..ops.bilateral import _bf_jit
     from ..ops._dispatch import resolve_impl
     mesh = _default_mesh(mesh)
     impl = resolve_impl(impl)
     radius = ksize // 2
-    fn = lambda blk: _bf_jit(blk, int(ksize), float(sigma_space),
-                             float(sigma_color), impl)
-    return stencil_apply_sharded(fn, image, radius, mesh)
+    _check_shardable(image.shape[0], radius, mesh)
+    run = _cached_stencil_runner(
+        "bf", (int(ksize), float(sigma_space), float(sigma_color)), impl,
+        mesh, radius, (image.ndim,), image.ndim)
+    return run(image)
 
 
 def joint_bilateral_filter_sharded(image, guide, ksize: int = 9,
@@ -110,16 +152,17 @@ def joint_bilateral_filter_sharded(image, guide, ksize: int = 9,
                                    impl: str = "auto"):
     """Row-sharded joint bilateral filter: image and guide shard together,
     both halo-exchanged. Bit-identical to the single-device op."""
-    from ..ops.bilateral import _jbf_jit
     from ..ops._dispatch import resolve_impl
     mesh = _default_mesh(mesh)
     impl = resolve_impl(impl)
     if image.shape[:2] != guide.shape[:2]:
         raise ValueError("image and guide sizes differ")
     radius = ksize // 2
-    fn = lambda blk, gd: _jbf_jit(blk, gd, int(ksize), float(sigma_space),
-                                  float(sigma_color), impl)
-    return stencil_apply_sharded(fn, image, radius, mesh, extras=(guide,))
+    _check_shardable(image.shape[0], radius, mesh)
+    run = _cached_stencil_runner(
+        "jbf", (int(ksize), float(sigma_space), float(sigma_color)), impl,
+        mesh, radius, (image.ndim, guide.ndim), image.ndim)
+    return run(image, guide)
 
 
 def adaptive_bilateral_filter_sharded(image, ksize: int = 9,
@@ -129,24 +172,91 @@ def adaptive_bilateral_filter_sharded(image, ksize: int = 9,
                                       impl: str = "auto"):
     """Row-sharded adaptive bilateral filter (halo = radius: both the box
     mean and the range window span the same (2r+1)² neighbourhood)."""
-    from ..ops.adaptive_bilateral import _abf_jit
     from ..ops._dispatch import resolve_impl
     mesh = _default_mesh(mesh)
     impl = resolve_impl(impl)
     radius = ksize // 2
-    fn = lambda blk: _abf_jit(blk, int(ksize), float(sigma_space),
-                              float(sigma_color), impl)
-    return stencil_apply_sharded(fn, image, radius, mesh)
+    _check_shardable(image.shape[0], radius, mesh)
+    run = _cached_stencil_runner(
+        "abf", (int(ksize), float(sigma_space), float(sigma_color)), impl,
+        mesh, radius, (image.ndim,), image.ndim)
+    return run(image)
 
 
 def gradient_sharded(image, mesh: Mesh | None = None, impl: str = "auto"):
     """Row-sharded gradient magnitude (halo = 1)."""
-    from ..ops.gradient import _gradient_jit
     from ..ops._dispatch import resolve_impl
     mesh = _default_mesh(mesh)
     impl = resolve_impl(impl)
-    fn = lambda blk: _gradient_jit(blk, impl=impl)
-    return stencil_apply_sharded(fn, image, 1, mesh, out_ndim=2)
+    _check_shardable(image.shape[0], 1, mesh)
+    run = _cached_stencil_runner("gradient", (), impl, mesh, 1,
+                                 (image.ndim,), 2)
+    return run(image)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_btf_sharded_runner(ksize: int, nitr: int, impl: str, mesh: Mesh):
+    import math
+
+    d = mesh.shape[SPATIAL_AXIS]
+    radius = ksize // 2
+    jbf_ksize = 2 * ksize - 1
+    jbf_radius = jbf_ksize // 2
+    jbf_sigma_space = float(ksize - 1)
+    jbf_sigma_color = float(math.sqrt(3.0))
+    spec = P(SPATIAL_AXIS, None, None)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_vma=False)
+    def run(local):
+        hl = local.shape[0]
+
+        def stage(fn, r, *arrays):
+            ext = [halo_exchange_rows(a, r, SPATIAL_AXIS, d) for a in arrays]
+            out = fn(*ext)
+            return jax.tree_util.tree_map(lambda o: o[r : r + hl], out)
+
+        if impl == "pallas":
+            from ..ops.pallas.bilateral import joint_bilateral_pallas
+            from ..ops.pallas.bilateral_texture import (blur_and_rtv_pallas,
+                                                        guide_pallas)
+            from ..ops.pallas.gradient import gradient_pallas
+
+            def iteration(_, img_u8):
+                img_f = img_u8.astype(jnp.float32)
+                magnitude = stage(gradient_pallas, 1, img_f)
+                blurred, rtv = stage(
+                    lambda i, m: blur_and_rtv_pallas(i, m, ksize), radius,
+                    img_f, magnitude)
+                guide = stage(lambda b, r_: guide_pallas(b, r_, ksize),
+                              radius, blurred, rtv)
+                return stage(
+                    lambda i, g: joint_bilateral_pallas(
+                        i, g, jbf_ksize, jbf_sigma_space, jbf_sigma_color),
+                    jbf_radius, img_u8, guide)
+        else:
+            from ..ops.bilateral import _bilateral_math
+            from ..ops.bilateral_texture import _blur_and_rtv_math, _guide_math
+            from ..ops.gradient import _gradient_math
+
+            def iteration(_, img_u8):
+                img_f = img_u8.astype(jnp.float32)
+                magnitude = stage(_gradient_math, 1, img_f)
+                blurred, rtv = stage(
+                    lambda i, m: _blur_and_rtv_math(i, m, ksize), radius,
+                    img_f, magnitude)
+                guide = stage(lambda b, r_: _guide_math(b, r_, ksize), radius,
+                              blurred, rtv)
+                return stage(
+                    lambda i, g: _bilateral_math(i, g, jbf_ksize,
+                                                 jbf_sigma_space,
+                                                 jbf_sigma_color),
+                    jbf_radius, img_f, guide)
+
+        return jax.lax.fori_loop(0, nitr, iteration, local, unroll=False)
+
+    return run
 
 
 def bilateral_texture_filter_sharded(image, ksize: int = 9, nitr: int = 3,
@@ -162,26 +272,21 @@ def bilateral_texture_filter_sharded(image, ksize: int = 9, nitr: int = 3,
     ``halo_exchange_rows`` replicates the current stage's own edge rows at
     the global top/bottom — exactly the single-device op's per-stage
     clamping — so every row, including the global boundary bands, matches
-    the single-device op bit-for-bit.
+    the single-device op bit-for-bit (same stage kernels, same per-pixel
+    windows).
 
-    The stages run the xla math (parity-identical to the Pallas stages —
-    both are pinned bit-exact to golden/); shard_map around Pallas custom
-    calls costs ~40× on the current runtime, so ``impl`` only affects the
-    single-device fallback path.
+    ``impl`` selects the stage kernels exactly like the single-device op
+    (Pallas on TPU, XLA elsewhere).  The whole jitted shard_map runs at
+    plain-jit throughput; round 2's "~40× shard_map × Pallas overhead" was
+    an eager-shard_map dispatch artifact (benchmarks/diag_shardmap.py).
     """
-    import math
-
-    from ..ops.bilateral import _bilateral_math
-    from ..ops.bilateral_texture import _blur_and_rtv_math, _guide_math
-    from ..ops.gradient import _gradient_math
+    from ..ops._dispatch import resolve_impl
 
     mesh = _default_mesh(mesh)
+    impl = resolve_impl(impl)
     d = mesh.shape[SPATIAL_AXIS]
     radius = ksize // 2
-    jbf_ksize = 2 * ksize - 1
-    jbf_radius = jbf_ksize // 2
-    jbf_sigma_space = float(ksize - 1)
-    jbf_sigma_color = float(math.sqrt(3.0))
+    jbf_radius = (2 * ksize - 1) // 2
     h = image.shape[0]
     if h % d != 0:
         raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
@@ -189,31 +294,4 @@ def bilateral_texture_filter_sharded(image, ksize: int = 9, nitr: int = 3,
         raise ValueError(
             f"shard height {h // d} smaller than the widest stage halo "
             f"{max(1, radius, jbf_radius)}")
-    spec = P(SPATIAL_AXIS, None, None)
-
-    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
-                       out_specs=spec, check_vma=False)
-    def run(local):
-        hl = local.shape[0]
-
-        def stage(fn, r, *arrays):
-            ext = [halo_exchange_rows(a, r, SPATIAL_AXIS, d) for a in arrays]
-            out = fn(*ext)
-            return jax.tree_util.tree_map(lambda o: o[r : r + hl], out)
-
-        def iteration(_, img_u8):
-            img_f = img_u8.astype(jnp.float32)
-            magnitude = stage(_gradient_math, 1, img_f)
-            blurred, rtv = stage(
-                lambda i, m: _blur_and_rtv_math(i, m, ksize), radius,
-                img_f, magnitude)
-            guide = stage(lambda b, r_: _guide_math(b, r_, ksize), radius,
-                          blurred, rtv)
-            return stage(
-                lambda i, g: _bilateral_math(i, g, jbf_ksize, jbf_sigma_space,
-                                             jbf_sigma_color),
-                jbf_radius, img_f, guide)
-
-        return jax.lax.fori_loop(0, nitr, iteration, local, unroll=False)
-
-    return run(image)
+    return _cached_btf_sharded_runner(int(ksize), int(nitr), impl, mesh)(image)
