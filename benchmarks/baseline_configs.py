@@ -20,9 +20,14 @@ import json
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 SAMPLES = "/root/reference/sample_image"
 
@@ -92,6 +97,16 @@ def main():
         "mps": round(cat.shape[0] * cat.shape[1] / dt / 1e6, 1),
     }
 
+    # cpp-path variant (cv::ximgproc::jointBilateralFilter final stage,
+    # bit-exact vs the compiled cpp reference — PARITY.md D1)
+    dt = timed_chain(lambda x: vip.bilateral_texture_filter(x, 9, 3,
+                                                            variant="cpp"),
+                     dc, iters=8)
+    report["config3c_btf_cpp_variant_mosaic_cat"] = {
+        "msec": round(dt * 1e3, 1),
+        "mps": round(cat.shape[0] * cat.shape[1] / dt / 1e6, 1),
+    }
+
     # batched BTF (8× mosaic_cat on one chip)
     from various_image_processings_tpu.parallel import bilateral_texture_filter_batched
     cat8 = jnp.tile(dc[None], (8, 1, 1, 1))
@@ -125,6 +140,24 @@ def main():
     report["config5a_wexler_mosaic_dog_64sq"] = {
         "sec": round(time.perf_counter() - t0, 1)}
 
+    # irregular multi-component mask (the reference sample takes an
+    # arbitrary user mask, sample/wexler_inpainting/main.cpp:10-15): an
+    # L-shaped hole + a detached blob + a thin bar, exercising the
+    # simultaneous-component peeling and RING_CAP-overflow divergences
+    # (PARITY.md D4) under benchmark conditions
+    mask2 = np.zeros(dog.shape[:2], np.uint8)
+    mask2[cy - 40 : cy + 8, cx - 50 : cx - 30] = 255   # vertical limb
+    mask2[cy - 8 : cy + 8, cx - 50 : cx + 10] = 255    # horizontal limb (L)
+    yy, xx = np.mgrid[: dog.shape[0], : dog.shape[1]]
+    mask2[(yy - (cy + 60)) ** 2 + (xx - (cx + 80)) ** 2 <= 18 ** 2] = 255
+    mask2[cy + 100 : cy + 104, cx - 60 : cx + 60] = 255  # thin bar
+    vip.inpainting_wexler(dog, mask2)  # warmup
+    t0 = time.perf_counter()
+    vip.inpainting_wexler(dog, mask2)
+    report["config5c_wexler_mosaic_dog_irregular_mask"] = {
+        "sec": round(time.perf_counter() - t0, 1),
+        "mask_pixels": int((mask2 > 0).sum()), "components": 3}
+
     # the FULL BASELINE.md config: 64×4K u8 (~1.6 GB in + 1.6 GB out, fits
     # one v5e's HBM).  Built on-device from one 4K tile so the batch never
     # crosses the host link.
@@ -141,10 +174,15 @@ def main():
     }
 
     print(json.dumps(report, indent=2))
-    out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAILS.json")
-    with open(os.path.abspath(out_path), "w") as f:
-        json.dump(report, f, indent=2)
-        f.write("\n")
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    paths = [os.path.join(root, "BENCH_DETAILS.json")]
+    rnd = os.environ.get("VIP_ROUND")  # e.g. "03" → per-round snapshot for
+    if rnd:                            # round-over-round regression diffing
+        paths.append(os.path.join(root, f"BENCH_DETAILS_r{rnd}.json"))
+    for p in paths:
+        with open(p, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,75 @@
+"""Hardware parity regression harness (VERDICT r2 item 9).
+
+Asserts — on the REAL device — that every op's divergence envelope vs the
+golden CPU twins stays inside the documented PARITY.md bounds, so silent
+numeric regressions (new kernel, new runtime, new XLA) fail loudly instead
+of waiting for a human to read the benchmark matrix.
+
+Run: `python benchmarks/hw_parity.py`  (exit 0 = all envelopes hold).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+SAMPLES = "/root/reference/sample_image"
+
+
+def check(name, cond, detail):
+    status = "OK " if cond else "FAIL"
+    print(f"{status} {name}: {detail}", flush=True)
+    return cond
+
+
+def main() -> int:
+    import cv2
+    import various_image_processings_tpu as vip
+    from various_image_processings_tpu import golden
+
+    print("device:", jax.devices()[0], flush=True)
+    ok = True
+
+    lenna = cv2.imread(f"{SAMPLES}/lenna.png", cv2.IMREAD_COLOR)
+    cat = cv2.imread(f"{SAMPLES}/mosaic_cat.png", cv2.IMREAD_COLOR)
+
+    # bilateral family: ≤1 u8 vs golden (PARITY.md per-op table)
+    out = np.asarray(vip.bilateral_filter(lenna, 9, 10.0, 30.0))
+    g = golden.bilateral_filter(lenna, 9, 10.0, 30.0)
+    d = np.abs(out.astype(int) - g.astype(int)).max()
+    ok &= check("bilateral_512", d <= 1, f"max {d} (bound 1)")
+
+    out = np.asarray(vip.adaptive_bilateral_filter(lenna, 9, 10.0, 30.0))
+    g = golden.adaptive_bilateral_filter(lenna, 9, 10.0, 30.0)
+    d = np.abs(out.astype(int) - g.astype(int)).max()
+    ok &= check("abf_512", d <= 1, f"max {d} (bound 1)")
+
+    out = np.asarray(vip.gradient(lenna))
+    g = golden.gradient(lenna)
+    rel = np.abs(out - g) / np.maximum(np.abs(g), 1e-3)
+    ok &= check("gradient_512", rel.max() <= 1e-4, f"max rel {rel.max():.2e}")
+
+    # BTF end-to-end on hardware: the documented envelope is p99.9 ≤5 and
+    # max ≤46 u8 vs golden (tie-flip amplification of TPU transcendental
+    # ulps across nitr iterations, PARITY.md BTF row)
+    out = np.asarray(vip.bilateral_texture_filter(cat, 9, 3))
+    g = golden.bilateral_texture_filter(cat, 9, 3)
+    d = np.abs(out.astype(int) - g.astype(int))
+    p999 = float(np.percentile(d, 99.9))
+    ok &= check("btf_mosaic_cat", p999 <= 5 and d.max() <= 46,
+                f"max {d.max()} (bound 46), p99.9 {p999:.1f} (bound 5), "
+                f"exact {(d == 0).mean():.4f}")
+
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

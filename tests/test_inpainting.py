@@ -125,3 +125,28 @@ def test_ring_search_energy_matches_bruteforce():
         assert (by[i], bx[i]) == (best[1], best[2]), (i, targets[i])
         # f32/bf16-exact products, only the final Σ (≤3·10⁷) may round
         assert abs(e[i] - best[0]) <= max(4.0, 1e-6 * best[0]), (i, targets[i])
+
+
+def test_wexler_bbox_bucketing_reuses_executable():
+    """Two different masks with similar-size holes at different positions
+    must NOT trigger a second while-loop compile: the static bbox size is
+    bucketed to multiples of 64 and the origin is a traced scalar
+    (each distinct static shape costs a full compile through the remote
+    compiler — ADVICE r2 / VERDICT r2 item 7)."""
+    from various_image_processings_tpu.models import inpainting as M
+    from various_image_processings_tpu.ops.inpainting import inpainting_wexler
+
+    size = 64
+    img = np.tile(((np.arange(size) // 4) % 2 * 180 + 40)
+                  .astype(np.uint8)[None, :, None], (size, 1, 3))
+    m1 = np.zeros((size, size), np.uint8)
+    m1[10:18, 12:20] = 255
+    m2 = np.zeros((size, size), np.uint8)
+    m2[34:40, 30:38] = 255
+
+    inpainting_wexler(img, m1)
+    n_fill = M._fill_pass_device._cache_size()
+    n_loop = M._energy_loops_device._cache_size()
+    inpainting_wexler(img, m2)
+    assert M._fill_pass_device._cache_size() == n_fill
+    assert M._energy_loops_device._cache_size() == n_loop

@@ -87,11 +87,17 @@ def test_enforce_connectivity_merges_small_island():
     assert sizes.min() >= 45 or ncomp <= 2
 
 
-def test_bgr2lab_exact_matches_opencv_exhaustively():
+@pytest.mark.parametrize("path", ["live", "fallback"])
+def test_bgr2lab_exact_matches_opencv_exhaustively(path, monkeypatch):
     """bgr2lab_u8_exact must equal cv2.cvtColor on ALL 2²⁴ BGR colors —
-    SLIC's parity with the reference hinges on bit-exact Lab codes."""
+    SLIC's parity with the reference hinges on bit-exact Lab codes.  Both
+    the native C++ loop and the NumPy int32 fallback are exercised
+    regardless of which one is live in this environment."""
     cv2 = pytest.importorskip("cv2")
     from various_image_processings_tpu.core.colors import bgr2lab_u8_exact
+    if path == "fallback":
+        from various_image_processings_tpu.utils import native
+        monkeypatch.setattr(native, "bgr2lab_u8", lambda *a, **k: None)
     all_colors = np.arange(1 << 24, dtype=np.uint32)
     img = np.stack([(all_colors & 255), (all_colors >> 8) & 255,
                     (all_colors >> 16) & 255],

@@ -297,29 +297,38 @@ def _boundary_ring(rem, height, width):
 
 
 def _pass_core(img_f, rem_f, weight, height, width,
-               initial: bool, cap: int, bbox: tuple | None):
+               initial: bool, cap: int, bbox_size: tuple | None,
+               bbox_origin):
     """One exemplar_based_inpainting pass (reference :271-322) as traced
     jax code over f32 state: lax.while_loop peels ≤cap boundary targets per
     iteration.  Returns (filled f32 image, energy f32 — −1.0 on search
     failure, in which case the partial fill must be discarded).
 
-    bbox: static (y0, y1, x0, x1) hole bounding box with a 1-pixel margin
-    (host-computed from the mask).  The hole never grows, so the boundary
-    ring and its nonzero-compaction run on the small box instead of the
-    whole image — on a 700×402 image with a 64² hole this removes ~2.5 ms
-    of O(H·W) work from EVERY ring iteration.  A margin pixel is known
-    (rem = 0) by construction, so treating box edges as known (the pad
-    inside ``_boundary_ring``) matches the full-image semantics; where the
-    hole touches the image border the box edge IS the image border, which
-    counts as known in the reference's neighbour test too."""
-    if bbox is None:
-        bbox = (0, height, 0, width)
-    by0, by1, bx0, bx1 = bbox
-    bh, bw = by1 - by0, bx1 - bx0
+    bbox_size: STATIC (bh, bw) hole bounding-box size, bucketed up to
+    multiples of 64 host-side so that varied masks of similar extent reuse
+    one compiled executable (each distinct static size costs a full
+    while-loop compile through the remote compiler).  bbox_origin: TRACED
+    (by0, bx0) i32 scalars — the box position never forces a recompile.
+    The hole never grows, so the boundary ring and its nonzero-compaction
+    run on the small box instead of the whole image — on a 700×402 image
+    with a 64² hole this removes ~2.5 ms of O(H·W) work from EVERY ring
+    iteration.  The box margin pixels are known (rem = 0) by construction
+    (host bucketing keeps the box ⊇ the tight hole box + 1), so treating
+    box edges as known (the pad inside ``_boundary_ring``) matches the
+    full-image semantics; where the hole touches the image border the box
+    edge IS the image border, which counts as known in the reference's
+    neighbour test too."""
+    if bbox_size is None:
+        bh, bw = height, width
+        by0 = jnp.int32(0)
+        bx0 = jnp.int32(0)
+    else:
+        bh, bw = bbox_size
+        by0, bx0 = bbox_origin
 
     def body(carry):
         img_f, rem, energy, fail = carry
-        rem_box = jax.lax.slice(rem, (by0, bx0), (by1, bx1))
+        rem_box = jax.lax.dynamic_slice(rem, (by0, bx0), (bh, bw))
         ring = _boundary_ring(rem_box, bh, bw)
         count = jnp.sum(ring)
         tys, txs = jnp.nonzero(ring, size=cap, fill_value=0)  # raster order
@@ -341,7 +350,7 @@ def _pass_core(img_f, rem_f, weight, height, width,
 
     def cond(carry):
         _, rem, _, fail = carry
-        rem_box = jax.lax.slice(rem, (by0, bx0), (by1, bx1))
+        rem_box = jax.lax.dynamic_slice(rem, (by0, bx0), (bh, bw))
         return (jnp.sum(rem_box) > 0) & ~fail
 
     carry0 = (img_f, rem_f, jnp.float32(0.0), jnp.bool_(False))
@@ -350,22 +359,23 @@ def _pass_core(img_f, rem_f, weight, height, width,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "initial",
-                                              "cap", "bbox"))
+                                              "cap", "bbox_size"))
 def _fill_pass_device(image_u8, remained0, weight, height, width,
                       initial: bool, cap: int = RING_CAP,
-                      bbox: tuple | None = None):
+                      bbox_size: tuple | None = None, bbox_origin=(0, 0)):
     """One pass, u8 in/out (see _pass_core)."""
     img_f, energy = _pass_core(image_u8.astype(jnp.float32),
                                remained0.astype(jnp.float32), weight,
-                               height, width, initial, cap, bbox)
+                               height, width, initial, cap, bbox_size,
+                               bbox_origin)
     return jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8), energy
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "max_loop",
-                                              "cap", "bbox"))
+                                              "cap", "bbox_size"))
 def _energy_loops_device(image_u8, remained0, weight, height, width,
                          max_loop: int, cap: int = RING_CAP,
-                         bbox: tuple | None = None):
+                         bbox_size: tuple | None = None, bbox_origin=(0, 0)):
     """The whole per-level energy-minimisation loop (reference :40-50) as
     ONE device program: ≤max_loop non-initial passes, committing a pass's
     fill only when its weighted energy strictly decreased, stopping on the
@@ -380,7 +390,7 @@ def _energy_loops_device(image_u8, remained0, weight, height, width,
     def body(carry):
         img_f, cur_e, i, stop, energies = carry
         cand_f, e = _pass_core(img_f, rem_f, weight, height, width,
-                               False, cap, bbox)
+                               False, cap, bbox_size, bbox_origin)
         energies = energies.at[i].set(e)
         fail = e < 0
         nondecr = cur_e <= e
@@ -437,12 +447,26 @@ class WexlerInpainting:
 
     @staticmethod
     def _hole_bbox(hole: np.ndarray):
+        """((bh, bw) static size, (by0, bx0) traced origin) for the hole's
+        1-margin bounding box.  The SIZE is bucketed up to multiples of 64
+        (clamped to the image) so different masks of similar extent share
+        one compiled executable — each distinct static size costs a full
+        while-loop compile through the remote compiler; the origin is a
+        runtime value and never forces a recompile."""
         h, w = hole.shape
         ys, xs = np.nonzero(hole)
         if len(ys) == 0:
-            return (0, 1, 0, 1)
-        return (max(int(ys.min()) - 1, 0), min(int(ys.max()) + 2, h),
-                max(int(xs.min()) - 1, 0), min(int(xs.max()) + 2, w))
+            return (min(64, h), min(64, w)), (0, 0)
+        y0 = max(int(ys.min()) - 1, 0)
+        y1 = min(int(ys.max()) + 2, h)
+        x0 = max(int(xs.min()) - 1, 0)
+        x1 = min(int(xs.max()) + 2, w)
+        bh = min(-(-(y1 - y0) // 64) * 64, h)
+        bw = min(-(-(x1 - x0) // 64) * 64, w)
+        # keep the (grown) box inside the image; growth keeps margin ⊇ 1
+        by0 = min(y0, h - bh)
+        bx0 = min(x0, w - bw)
+        return (bh, bw), (by0, bx0)
 
     def _fill_pass(self, image_dev, hole_dev, weight_dev, bbox, initial: bool):
         """One exemplar_based_inpainting pass (reference :271-322) on
@@ -453,8 +477,11 @@ class WexlerInpainting:
         per-pass image upload/download cost ~0.5 s of the mosaic_dog total
         through the axon tunnel before this."""
         h, w = hole_dev.shape
-        filled, energy = _fill_pass_device(image_dev, hole_dev, weight_dev,
-                                           h, w, initial, bbox=bbox)
+        bbox_size, bbox_origin = bbox
+        filled, energy = _fill_pass_device(
+            image_dev, hole_dev, weight_dev, h, w, initial,
+            bbox_size=bbox_size,
+            bbox_origin=jnp.asarray(bbox_origin, jnp.int32))
         return filled, float(energy)  # scalar sync: the pass is complete
 
     def apply(self, src, mask) -> np.ndarray:
@@ -508,7 +535,8 @@ class WexlerInpainting:
             # come back for logging in one sync with the final image
             img_dev, energies = _energy_loops_device(
                 img_dev, hole_dev, weight_dev, *hole.shape,
-                max_loop=self.max_loop, bbox=bbox)
+                max_loop=self.max_loop, bbox_size=bbox[0],
+                bbox_origin=jnp.asarray(bbox[1], jnp.int32))
             srcs[layer] = np.array(img_dev)
             if self.verbose:
                 for i, e in enumerate(np.asarray(energies)):

@@ -98,14 +98,18 @@ def _bf_jit(src: jax.Array, ksize: int, sigma_space: float,
     return _bilateral_math(src_f, src_f, ksize, sigma_space, sigma_color)
 
 
-@functools.partial(jax.jit, static_argnames=("ksize", "sigma_space", "sigma_color", "impl"))
+@functools.partial(jax.jit, static_argnames=("ksize", "sigma_space", "sigma_color",
+                                              "impl", "border", "rounding"))
 def _jbf_jit(src: jax.Array, guide: jax.Array, ksize: int, sigma_space: float,
-             sigma_color: float, impl: str) -> jax.Array:
+             sigma_color: float, impl: str, border: str = "replicate",
+             rounding: str = "trunc") -> jax.Array:
     if impl == "pallas":
         from .pallas.bilateral import joint_bilateral_pallas
-        return joint_bilateral_pallas(src, guide, ksize, sigma_space, sigma_color)
+        return joint_bilateral_pallas(src, guide, ksize, sigma_space,
+                                      sigma_color, border=border,
+                                      rounding=rounding)
     return _bilateral_math(src.astype(jnp.float32), guide.astype(jnp.float32),
-                           ksize, sigma_space, sigma_color)
+                           ksize, sigma_space, sigma_color, border, rounding)
 
 
 def bilateral_filter(src, ksize: int = 9, sigma_space: float = 10.0,

@@ -93,15 +93,26 @@ def _guide_math(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
     return jnp.clip(jnp.trunc(guide), 0.0, 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=("ksize", "nitr", "impl"))
-def _btf_jit(src: jax.Array, ksize: int, nitr: int, impl: str) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("ksize", "nitr", "impl", "variant"))
+def _btf_jit(src: jax.Array, ksize: int, nitr: int, impl: str,
+             variant: str = "cuda") -> jax.Array:
     jbf_ksize = 2 * ksize - 1
     jbf_sigma_space = float(ksize - 1)
     jbf_sigma_color = float(math.sqrt(3.0))
+    # the ONLY difference between the reference's two BTF paths is the final
+    # JBF stage's border + rounding: its CUDA path uses the in-repo JBF
+    # (replicate pad, u8(x+0.5f) truncation) while the cpp path defers to
+    # cv::ximgproc::jointBilateralFilter (reflect-101 pad, cvRound
+    # half-to-even) — interior tap math is IDENTICAL (L1 range LUT, same
+    # circle-masked spatial Gaussian; probed bit-exact against the compiled
+    # oracle, tests/test_reference_oracle.py::test_jbf_cpp_variant)
+    border = "reflect101" if variant == "cpp" else "replicate"
+    rounding = "rint" if variant == "cpp" else "trunc"
 
     if impl == "pallas":
         from .pallas.bilateral_texture import btf_iteration_pallas
-        iteration = functools.partial(btf_iteration_pallas, ksize=ksize)
+        iteration = functools.partial(btf_iteration_pallas, ksize=ksize,
+                                      border=border, rounding=rounding)
     else:
         def iteration(img_u8):
             img_f = img_u8.astype(jnp.float32)
@@ -109,18 +120,29 @@ def _btf_jit(src: jax.Array, ksize: int, nitr: int, impl: str) -> jax.Array:
             blurred, rtv = _blur_and_rtv_math(img_f, magnitude, ksize)
             guide = _guide_math(blurred, rtv, ksize)
             return _bilateral_math(img_f, guide, jbf_ksize,
-                                   jbf_sigma_space, jbf_sigma_color)
+                                   jbf_sigma_space, jbf_sigma_color,
+                                   border, rounding)
 
     return jax.lax.fori_loop(0, nitr, lambda _, img: iteration(img), src,
                              unroll=False)
 
 
 def bilateral_texture_filter(src, ksize: int = 9, nitr: int = 3,
-                             impl: str = "auto") -> jax.Array:
-    """(H, W, 3) u8 → (H, W, 3) u8 texture-removed image."""
+                             impl: str = "auto",
+                             variant: str = "cuda") -> jax.Array:
+    """(H, W, 3) u8 → (H, W, 3) u8 texture-removed image.
+
+    variant: "cuda" (default) matches the reference's CUDA pipeline
+    (src/bilateral_texture_filter_impl.cu:199-214, in-repo JBF); "cpp"
+    matches its cpp pipeline (include/cpp/bilateral_texture_filter.hpp:
+    153-164, cv::ximgproc::jointBilateralFilter final stage) — ≤1 u8 vs the
+    compiled reference cpp path (PARITY.md D1)."""
     src = jnp.asarray(src)
     _validate.check_u8_color("src", src)
     _validate.check_ksize(ksize)
     if nitr < 0:
         raise ValueError(f"nitr must be >= 0, got {nitr}")
-    return _btf_jit(src, int(ksize), int(nitr), resolve_impl(impl))
+    if variant not in ("cuda", "cpp"):
+        raise ValueError(f'variant must be "cuda" or "cpp", got {variant!r}')
+    return _btf_jit(src, int(ksize), int(nitr), resolve_impl(impl),
+                    variant)

@@ -75,16 +75,28 @@ def plan_tiles(height: int, width: int, radius: int,
 
 
 def to_planar_padded(img_hwc: jax.Array, plan: TilePlan,
-                     dtype=jnp.float32) -> jax.Array:
-    """(H, W[, C]) → (C, padded_rows, padded_cols) replicate-padded planar."""
+                     dtype=jnp.float32, border: str = "replicate") -> jax.Array:
+    """(H, W[, C]) → (C, padded_rows, padded_cols) planar, halo-padded with
+    ``border`` semantics (replicate, or reflect-101 for the
+    cv::ximgproc-compatible variant) plus replicate alignment padding on the
+    bottom/right (those rows/cols only feed outputs that are cropped)."""
     if img_hwc.ndim == 2:
         img_hwc = img_hwc[:, :, None]
     r = plan.radius
-    padded = replicate_pad(
-        img_hwc.astype(dtype),
-        r, plan.padded_rows - r - plan.height,
-        r, plan.padded_cols - r - plan.width,
-    )
+    img = img_hwc.astype(dtype)
+    if border == "reflect101" and r > 0:
+        img = jnp.pad(img, [(r, r), (r, r), (0, 0)], mode="reflect")
+        padded = replicate_pad(
+            img,
+            0, plan.padded_rows - img.shape[0],
+            0, plan.padded_cols - img.shape[1],
+        )
+    else:
+        padded = replicate_pad(
+            img,
+            r, plan.padded_rows - r - plan.height,
+            r, plan.padded_cols - r - plan.width,
+        )
     return padded.transpose(2, 0, 1)
 
 

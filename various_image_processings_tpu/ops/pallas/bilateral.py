@@ -62,8 +62,12 @@ MAX_UNROLL_TAPS = 120
 # (self 1152 MP/s, joint 1158 MP/s at 4K k=9 via the public ops on v5e).
 _VALS_PER_TAP_SELF = 4.3
 _VALS_PER_TAP_JOINT = 4.3
-# n_taps ceiling → measured-good tile (compiles on v5e hardware)
-_FAST_TILES = ((52, (32, 640)),)
+# n_taps ceiling → measured-good tile (compiles on v5e hardware).  Cap is
+# exactly the measured k=9 case (49 taps, ~3.99 vals/tap): by the 4.3
+# vals/tap model (32,640) would need ~17.3 MB at 50+ taps — over the 16 MB
+# scoped-vmem limit — so unmeasured tap counts fall through to the
+# budget-checked tiles below instead of risking a Mosaic OOM.
+_FAST_TILES = ((49, (32, 640)),)
 # k=9 self at (32, 384) measures 12.05 MB scoped and compiles with ~840 MP/s
 # at 4K — 13 MB leaves ~3 MB for in/out blocks inside the 16 MB VMEM
 _VMEM_TEMP_BUDGET = 13 * 1024 * 1024
@@ -101,7 +105,16 @@ def _split_pairs(taps, radius):
     return np.float32(center_ws), pairs
 
 
-def _make_kernel(plan, taps, coeff, joint: bool):
+def _store_u8(x, rounding: str):
+    """f32 → u8 final store: the reference's ``u8(x + 0.5f)`` truncation, or
+    cvRound's half-to-even (`rint`) for the cv::ximgproc-compatible variant.
+    Mosaic has no direct f32→u8 cast; go through int32."""
+    if rounding == "rint":
+        return jnp.rint(x).astype(jnp.int32).astype(jnp.uint8)
+    return jnp.floor(x + np.float32(0.5)).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _make_kernel(plan, taps, coeff, joint: bool, rounding: str = "trunc"):
     """Pair-symmetric unrolled stencil: each weight is computed ONCE per
     {d, −d} pair on an extended (th+|dy|, tw+|dx|) region covering both the
     tile and the tile shifted by −d, then accumulated in both directions —
@@ -144,11 +157,8 @@ def _make_kernel(plan, taps, coeff, joint: bool):
                 a[c] = a[c] + s_plus * w1 + s_minus * w2
             ak = ak + w1 + w2
         inv = jnp.float32(1.0) / ak
-        half = jnp.float32(0.5)
-        # Mosaic has no direct f32→u8 cast; go through int32.
         for c in range(3):
-            out_ref[c] = (jnp.floor(a[c] * inv + half)
-                          .astype(jnp.int32).astype(jnp.uint8))
+            out_ref[c] = _store_u8(a[c] * inv, rounding)
 
     if joint:
         return compute
@@ -213,7 +223,8 @@ def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
 
 
 def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
-               tile=(32, 512)):
+               tile=(32, 512), border: str = "replicate",
+               rounding: str = "trunc"):
     """Mid-size stencils (MAX_UNROLL < taps ≤ a few×MAX_UNROLL): several
     fully-unrolled partial-accumulator kernels + an XLA combine — measured
     ~2.5× the throughput of the rolled chunked kernel at k=17 (the rolls
@@ -239,11 +250,11 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
               for i in range(nchunks)]
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
-    src_p = to_planar_padded(src_u8, plan)
+    src_p = to_planar_padded(src_u8, plan, border=border)
     args = (src_p,)
     in_specs = [halo_in_spec(plan)]
     if joint:
-        guide_p = to_planar_padded(guide_u8, plan)
+        guide_p = to_planar_padded(guide_u8, plan, border=border)
         args = (src_p, guide_p)
         in_specs = [halo_in_spec(plan), halo_in_spec(plan)]
     out_shape = jax.ShapeDtypeStruct((4, plan.out_rows, plan.out_cols),
@@ -262,11 +273,15 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
                            cost)(*args)
         total = acc if total is None else total + acc
     inv = jnp.float32(1.0) / total[3]
-    out = jnp.floor(total[:3] * inv + jnp.float32(0.5)).astype(jnp.uint8)
+    if rounding == "rint":
+        out = jnp.rint(total[:3] * inv).astype(jnp.uint8)
+    else:
+        out = jnp.floor(total[:3] * inv + jnp.float32(0.5)).astype(jnp.uint8)
     return from_planar(out, plan)
 
 
-def _make_chunked_kernel(plan, ksize, coeff, joint: bool):
+def _make_chunked_kernel(plan, ksize, coeff, joint: bool,
+                         rounding: str = "trunc"):
     """Large-k variant: the grid gains a third dimension over tap rows (ky).
     Per step the halo block (which Pallas keeps VMEM-resident across the ky
     steps — its index map ignores ky) is rolled down by ky once
@@ -330,10 +345,9 @@ def _make_chunked_kernel(plan, ksize, coeff, joint: bool):
         @pl.when(ky == pl.num_programs(2) - 1)
         def _():
             inv = jnp.float32(1.0) / ak[...]
-            half = jnp.float32(0.5)
-            out_ref[0] = jnp.floor(a0[...] * inv + half).astype(jnp.int32).astype(jnp.uint8)
-            out_ref[1] = jnp.floor(a1[...] * inv + half).astype(jnp.int32).astype(jnp.uint8)
-            out_ref[2] = jnp.floor(a2[...] * inv + half).astype(jnp.int32).astype(jnp.uint8)
+            out_ref[0] = _store_u8(a0[...] * inv, rounding)
+            out_ref[1] = _store_u8(a1[...] * inv, rounding)
+            out_ref[2] = _store_u8(a2[...] * inv, rounding)
 
     if joint:
         return compute
@@ -345,7 +359,8 @@ def _make_chunked_kernel(plan, ksize, coeff, joint: bool):
 
 
 def _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
-                 joint: bool, th: int = 32, tw: int = 256):
+                 joint: bool, th: int = 32, tw: int = 256,
+                 border: str = "replicate", rounding: str = "trunc"):
     from jax.experimental.pallas import tpu as pltpu
     from ...core.luts import space_kernel
 
@@ -355,14 +370,14 @@ def _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
     ws_flat = jnp.asarray(space_kernel(ksize, sigma_space).reshape(-1))
     coeff = gauss_coeff_f32(sigma_color)
 
-    src_p = to_planar_padded(src_u8, plan)
+    src_p = to_planar_padded(src_u8, plan, border=border)
     n_taps = ksize * ksize
     cost = pl.CostEstimate(
         flops=n_taps * 16 * plan.out_rows * plan.out_cols,
         bytes_accessed=(2 if joint else 1) * 3 * plan.padded_rows * plan.padded_cols * 4,
         transcendentals=n_taps * plan.out_rows * plan.out_cols,
     )
-    kernel = _make_chunked_kernel(plan, ksize, coeff, joint)
+    kernel = _make_chunked_kernel(plan, ksize, coeff, joint, rounding)
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
 
     def in3(spec):
@@ -376,7 +391,7 @@ def _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
     in_specs = smem + [in3(halo_in_spec(plan))]
     args = (ws_flat, src_p)
     if joint:
-        guide_p = to_planar_padded(guide_u8, plan)
+        guide_p = to_planar_padded(guide_u8, plan, border=border)
         in_specs = in_specs + [in3(halo_in_spec(plan))]
         args = (ws_flat, src_p, guide_p)
     out = pl.pallas_call(
@@ -393,7 +408,8 @@ def _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
     return from_planar(out, plan)
 
 
-def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
+def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
+         border: str = "replicate", rounding: str = "trunc"):
     h, w, _ = src_u8.shape
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
@@ -401,16 +417,17 @@ def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
     if tile is None or len(taps) > MAX_UNROLL_TAPS:
         if len(taps) <= 4 * MAX_UNROLL_TAPS:
             out = _run_split(src_u8, guide_u8, ksize, sigma_space,
-                             sigma_color, joint)
+                             sigma_color, joint, border=border,
+                             rounding=rounding)
             if out is not None:
                 return out
         # very large stencil: tap-row-chunked kernel (3rd grid dim over ky)
         return _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
-                            joint)
+                            joint, border=border, rounding=rounding)
 
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
-    src_p = to_planar_padded(src_u8, plan)
+    src_p = to_planar_padded(src_u8, plan, border=border)
     # pair model: one exp per {d,−d} pair, ~28 flops/pair (≈14/tap)
     n_pairs = len(taps) // 2
     cost = pl.CostEstimate(
@@ -418,10 +435,10 @@ def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
         bytes_accessed=(2 if joint else 1) * 3 * plan.padded_rows * plan.padded_cols * 4,
         transcendentals=n_pairs * plan.out_rows * plan.out_cols,
     )
-    kernel = _make_kernel(plan, taps, coeff, joint)
+    kernel = _make_kernel(plan, taps, coeff, joint, rounding)
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
     if joint:
-        guide_p = to_planar_padded(guide_u8, plan)
+        guide_p = to_planar_padded(guide_u8, plan, border=border)
         out = stencil_call(kernel, plan,
                            [halo_in_spec(plan), halo_in_spec(plan)],
                            tile_out_spec(plan), out_shape, cost)(src_p, guide_p)
@@ -432,9 +449,14 @@ def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool):
 
 
 def joint_bilateral_pallas(src_u8: jax.Array, guide_u8: jax.Array, ksize: int,
-                           sigma_space: float, sigma_color: float) -> jax.Array:
-    """(H, W, 3) u8 src + guide → (H, W, 3) u8."""
-    return _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint=True)
+                           sigma_space: float, sigma_color: float,
+                           border: str = "replicate",
+                           rounding: str = "trunc") -> jax.Array:
+    """(H, W, 3) u8 src + guide → (H, W, 3) u8.  border/rounding select the
+    reference-JBF vs cv::ximgproc::jointBilateralFilter semantics (see
+    ops/bilateral.py::_bilateral_math)."""
+    return _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint=True,
+                border=border, rounding=rounding)
 
 
 def bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,

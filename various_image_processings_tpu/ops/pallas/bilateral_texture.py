@@ -191,14 +191,19 @@ def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
     return out[:, :h, :w].transpose(1, 2, 0).astype(jnp.uint8)
 
 
-def btf_iteration_pallas(img_u8: jax.Array, ksize: int) -> jax.Array:
+def btf_iteration_pallas(img_u8: jax.Array, ksize: int,
+                         border: str = "replicate",
+                         rounding: str = "trunc") -> jax.Array:
     """One BTF iteration (gradient → blur+mRTV → guide → JBF), the hot
     stages as Pallas kernels. Counterpart of the loop body at
-    src/bilateral_texture_filter_impl.cu:205-211."""
+    src/bilateral_texture_filter_impl.cu:205-211.  border/rounding configure
+    the final JBF stage (variant="cpp" → reflect101/rint, matching
+    cv::ximgproc::jointBilateralFilter)."""
     img_f = img_u8.astype(jnp.float32)
     magnitude = gradient_pallas(img_f)
     blurred, rtv = blur_and_rtv_pallas(img_f, magnitude, ksize)
     guide = guide_pallas(blurred, rtv, ksize)
     sigma_color = float(np.sqrt(np.float32(3.0), dtype=np.float32))
     return joint_bilateral_pallas(img_u8, guide, 2 * ksize - 1,
-                                  float(ksize - 1), sigma_color)
+                                  float(ksize - 1), sigma_color,
+                                  border=border, rounding=rounding)

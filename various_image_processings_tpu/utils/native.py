@@ -18,11 +18,22 @@ _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "build", "libvip_native.so"
 
 
 def _stale() -> bool:
-    src = os.path.abspath(os.path.join(_NATIVE_DIR, "src", "vip_native.cpp"))
+    """True when any build input (sources, headers, Makefile — compiler
+    flags count as arithmetic-relevant) is newer than the built .so."""
+    import glob
+    inputs = glob.glob(os.path.join(_NATIVE_DIR, "src", "*"))
+    inputs.append(os.path.join(_NATIVE_DIR, "Makefile"))
     try:
-        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        so_mtime = os.path.getmtime(_SO_PATH)
     except OSError:
         return False
+    newest = 0.0
+    for p in inputs:
+        try:
+            newest = max(newest, os.path.getmtime(p))
+        except OSError:
+            pass
+    return newest > so_mtime
 
 
 @functools.cache
