@@ -41,6 +41,11 @@ Known divergences from the strictly sequential reference, kept deliberately
   next while-iteration in raster order rather than filled in priority order
   (within one batch the order is irrelevant — all fills read ring-start
   state; std::priority_queue's tie order is unspecified anyway);
+- ENERGY passes (non-initial) batch ALL remaining pixels in raster chunks
+  of ≤ENERGY_CAP instead of peeling rings: their patch context already
+  exists from the previous pass, so this is the Jacobi-style simultaneous
+  update of Wexler et al.'s EM iteration (PARITY.md D4) and amortizes the
+  search's fixed per-dispatch im2col cost;
 - odd pyramid levels: pyrUp output is cropped to the finer level's size
   (the reference feeds a 2×-even upsample into a masked copyTo, which
   asserts on odd level sizes);
@@ -77,6 +82,9 @@ PYRAMID_BOTTOM_SIZE = 32  # :324
 MAX_LOOP = 5              # :325
 WEIGHT_BASE = 1.2         # :172
 RING_CAP = 256            # max ring targets batched per while-loop iteration
+ENERGY_CAP = 1024         # max targets per chunk in energy (non-initial)
+                          # passes — larger batches amortize the search's
+                          # ~1.9 ms fixed im2col cost (measured v5e)
 
 
 # ---------------------------------------------------------------------------
@@ -215,70 +223,100 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
     m = in_range[:, :, None] & in_range_x[:, None, :]      # (T, 13, 13)
     if initial:
         m = m & (rems == 0)    # skip the target's own unknown pixels (:244-246)
-    # channel-major (c, ky, kx) flattening to match the feature order
-    # conv_general_dilated_patches produces for the candidates — so the big
-    # candidate matrix never needs a transpose.
+    # channel-major (c, ky, kx) flattening: rows of the conv filters below
+    # reshape back to (3, k, k) without a transpose
     b = patches.transpose(0, 3, 1, 2).reshape(t, patch_len)
     mflat = (jnp.broadcast_to(m[:, None, :, :],
                               (t, 3, WINDOW_SIZE, WINDOW_SIZE))
              .reshape(t, patch_len).astype(jnp.float32))
-    b_masked = (b * mflat)                                   # B'
-    b2_const = jnp.sum(b_masked * b, axis=1)                 # Σ m b²  (T,)
 
-    # candidate scan: ONE dynamic-filter convolution -------------------------
-    # E'[t, c] = Σ_i m_ti a_ci² − 2 Σ_i m_ti b_ti a_ci is a correlation of
-    # the image with per-target 13×13 filters, so the whole scan lowers to
-    # the MXU via lax.conv without ever materializing the (507, Nc) patch
-    # matrix (272 MB bf16) or its f32 square (544 MB) that a dot_general
-    # formulation extracts per ring.  bf16 filters/inputs are exact:
-    #   - image values are integers in [0, 255] (u8 origin, fills copy
-    #     pixels) — exact in bf16 (8-bit mantissa);
-    #   - a² ∈ [0, 65025] is NOT, so it is split a² = 256·hi + lo with
-    #     hi, lo ≤ 255 (both exact) and the filter carries 256·m (powers of
-    #     two scale exactly);
-    #   - the cross filter carries −2·(m·b) ≤ 510, even → ≤8 significant
-    #     bits, exact.
-    # Every bf16×bf16 product is exact in the f32 accumulator; only the
-    # final Σ (up to ~3·10⁷) rounds, deterministically, ≤2 absolute — the
-    # same class as the dot_general formulation's f32 accumulation.
+    # candidate scan ---------------------------------------------------------
+    # SSD is shift-invariant: with a' = a−128, b' = b−128 (integers in
+    # [−128, 127], exact in bf16),
+    #   E[t, c] = Σ_i m_ti a'_ci² − 2 Σ_i m_ti b'_ti a'_ci + Σ_i m_ti b'_ti²
+    # The cross term is ONE bf16 dynamic-filter conv on the MXU (filters
+    # m·b', every product exact in the f32 accumulator).  The squared term
+    # splits by mask shape:
+    #   - all targets full-mask (every interior, non-initial ring — the hot
+    #     case): it is target-independent → EXACT planar i32 SATs (Σ_ch a'²
+    #     split 256·hi+lo so the full-image cumsums stay inside i32), and
+    #     the conv contraction drops from K=1521 to K=507.  The round-2
+    #     9-plane conv ran at 33% of bf16 MXU peak, im2col/layout-bound, so
+    #     cutting K 3× is the direct lever (an int8 conv formulation was
+    #     tried and is 1.9× SLOWER — XLA's TPU s8 conv does not hit the
+    #     int8 MXU path).
+    #   - any partial mask (border targets / the initial pass): a second
+    #     6-plane conv over the exact a'² = 256·hi + lo split with binary
+    #     mask filters [256·m, m] (256·m ≤ 256, exact bf16).
     n_cy = height - 2 * WHALF   # candidate centre rows: WHALF .. H-WHALF-1
     n_cx = width - 2 * WHALF
     ncand = n_cy * n_cx
+    k = WINDOW_SIZE
 
     # candidate validity: no remaining pixel in the patch (box sum == 0)
     ii = jnp.pad(jnp.cumsum(jnp.cumsum(remained, axis=0), axis=1),
                  [(1, 0), (1, 0)])
-    k = WINDOW_SIZE
     box_sum = (ii[k:, k:] - ii[k:, :-k] - ii[:-k, k:] + ii[:-k, :-k])
     valid = (box_sum == 0).reshape(ncand)
 
-    sq = image_f * image_f                                   # exact ints
-    hi = jnp.floor(sq * jnp.float32(1.0 / 256.0))
-    lo = sq - hi * jnp.float32(256.0)
-    planes = jnp.concatenate([hi, lo, image_f], axis=2)      # (H, W, 9)
-    m4 = mflat.reshape(t, 3, WINDOW_SIZE, WINDOW_SIZE)
-    bm4 = b_masked.reshape(t, 3, WINDOW_SIZE, WINDOW_SIZE)
-    filt = jnp.concatenate(
-        [m4 * jnp.float32(256.0), m4, jnp.float32(-2.0) * bm4],
-        axis=1)                                              # (T, 9, 13, 13)
-    # NHWC/HWIO is measurably faster than NCHW/OIHW for this dynamic-filter
-    # conv on v5e (~8 %); a masked-mask fast path (box-sum Σa² shared across
-    # full-mask targets + 3-channel cross conv) was tried and is SLOWER —
-    # the conv is im2col/layout-bound, not FLOP-bound, so cutting the
-    # contraction 3× bought nothing and the extra SATs cost ~2 ms.
-    x = planes.astype(jnp.bfloat16)[None]                    # (1, H, W, 9)
-    f = filt.transpose(2, 3, 1, 0).astype(jnp.bfloat16)      # (13, 13, 9, T)
-    dn = jax.lax.conv_dimension_numbers(x.shape, f.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    e = jax.lax.conv_general_dilated(
-        x, f, (1, 1), "VALID", dimension_numbers=dn,
-        preferred_element_type=jnp.float32)[0].reshape(ncand, t)
+    shifted = image_f - jnp.float32(128.0)                   # (H, W, 3) a'
+    # planar (3, H, W) for all elementwise/SAT work — (H, W, 3) layouts put
+    # the 3-channel axis in the 128-lane dim (3% VPU utilization)
+    sq_pl = shifted.transpose(2, 0, 1)
+    sq_pl = sq_pl * sq_pl                                    # a'² ≤ 16384
+    sqsum = sq_pl[0] + sq_pl[1] + sq_pl[2]                   # ≤ 49152
+
+    bshift = b - jnp.float32(128.0)
+    bm = mflat * bshift                                      # m·b' (exact bf16)
+    b2f = jnp.sum(bm * bshift, axis=1)                       # Σ m b'²  (T,)
+
+    def bf16_conv(x_hwc, filt_flat, nch):
+        # filt_flat: (T, nch·k·k) in (c, ky, kx) order, values exact in bf16
+        f = (filt_flat.reshape(t, nch, k, k).transpose(2, 3, 1, 0)
+             .astype(jnp.bfloat16))                          # (k, k, nch, T)
+        x = x_hwc.astype(jnp.bfloat16)[None]
+        dn = jax.lax.conv_dimension_numbers(x.shape, f.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, f, (1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32)[0].reshape(ncand, t)
+
+    cross = bf16_conv(shifted, bm, 3)                        # Σ m b' a'
+
+    all_full = jnp.all(mflat > 0)
+
+    def sq_fast(_):
+        # Σ_ch a'² box-sum via EXACT i32 SATs: the raw cumsum peaks at
+        # 49152·H·W ≈ 1.4e10 > 2³¹, so SAT the 256·hi + lo split (cumsums
+        # ≤ 5.4e7 / 7.2e7) and recombine — exact, target-independent
+        s_i = sqsum.astype(jnp.int32)
+        hi = s_i >> 8
+        lo = s_i & 255
+
+        def box_i32(p):
+            c = jnp.pad(jnp.cumsum(jnp.cumsum(p, axis=0), axis=1),
+                        [(1, 0), (1, 0)])
+            return c[k:, k:] - c[k:, :-k] - c[:-k, k:] + c[:-k, :-k]
+
+        s2 = (256 * box_i32(hi) + box_i32(lo)).astype(jnp.float32)
+        return jnp.broadcast_to(s2.reshape(ncand, 1), (ncand, t))
+
+    def sq_slow(_):
+        hi = jnp.floor(sq_pl * jnp.float32(1.0 / 256.0))
+        lo = sq_pl - hi * jnp.float32(256.0)
+        planes = jnp.concatenate([hi, lo], axis=0).transpose(1, 2, 0)
+        filt = jnp.concatenate([mflat * jnp.float32(256.0), mflat], axis=1)
+        return bf16_conv(planes, filt, 6)
+
+    s2 = jax.lax.cond(all_full, sq_fast, sq_slow, operand=None)
+
+    e = s2 - jnp.float32(2.0) * cross + b2f[None, :]
     e = jnp.where(valid[:, None], e, jnp.float32(np.inf))
     # argmin returns the FIRST minimum → candidate scan order is raster order
     # of window top-lefts, same tie-break as the reference's y/x loops
     idx = jnp.argmin(e, axis=0)                              # (T,)
     emin = jnp.take_along_axis(e, idx[None, :], axis=0)[0]
-    best_e = jnp.where(tvalid, emin + b2_const, 0.0)
+    best_e = jnp.where(tvalid, emin, 0.0)
     best_y = (idx // n_cx + WHALF).astype(jnp.int32)
     best_x = (idx % n_cx + WHALF).astype(jnp.int32)
     return best_e, best_y, best_x
@@ -329,7 +367,20 @@ def _pass_core(img_f, rem_f, weight, height, width,
     def body(carry):
         img_f, rem, energy, fail = carry
         rem_box = jax.lax.dynamic_slice(rem, (by0, bx0), (bh, bw))
-        ring = _boundary_ring(rem_box, bh, bw)
+        if initial:
+            # onion peel: only boundary pixels have known context to copy
+            ring = _boundary_ring(rem_box, bh, bw)
+        else:
+            # energy passes re-fill pixels whose values already exist from
+            # the previous pass, so context does not depend on peel order:
+            # take ALL remaining pixels in raster chunks of `cap` — this is
+            # the Jacobi-style simultaneous update of Wexler et al.'s
+            # original EM iteration, and it amortizes the search's fixed
+            # im2col cost (~1.9 ms per conv regardless of target count,
+            # measured v5e) over 4-30× more targets per dispatch (PARITY.md
+            # D4; the reference's sequential per-pixel update is
+            # Gauss-Seidel-flavored, ours per-chunk)
+            ring = rem_box > 0
         count = jnp.sum(ring)
         tys, txs = jnp.nonzero(ring, size=cap, fill_value=0)  # raster order
         tys = tys + by0
@@ -532,10 +583,14 @@ class WexlerInpainting:
                     do_initial = False
 
             # the whole ≤max_loop energy loop runs on device; the energies
-            # come back for logging in one sync with the final image
+            # come back for logging in one sync with the final image.
+            # cap: whole-hole chunks bucketed to multiples of 256 (few
+            # compile variants), amortizing the fixed per-search conv cost
+            nhole = int(hole.sum())
+            ecap = max(RING_CAP, min(ENERGY_CAP, -(-max(nhole, 1) // 256) * 256))
             img_dev, energies = _energy_loops_device(
                 img_dev, hole_dev, weight_dev, *hole.shape,
-                max_loop=self.max_loop, bbox_size=bbox[0],
+                max_loop=self.max_loop, cap=ecap, bbox_size=bbox[0],
                 bbox_origin=jnp.asarray(bbox[1], jnp.int32))
             srcs[layer] = np.array(img_dev)
             if self.verbose:
