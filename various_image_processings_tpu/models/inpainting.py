@@ -230,24 +230,22 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
                               (t, 3, WINDOW_SIZE, WINDOW_SIZE))
              .reshape(t, patch_len).astype(jnp.float32))
 
-    # candidate scan ---------------------------------------------------------
-    # SSD is shift-invariant: with a' = a−128, b' = b−128 (integers in
-    # [−128, 127], exact in bf16),
-    #   E[t, c] = Σ_i m_ti a'_ci² − 2 Σ_i m_ti b'_ti a'_ci + Σ_i m_ti b'_ti²
-    # The cross term is ONE bf16 dynamic-filter conv on the MXU (filters
-    # m·b', every product exact in the f32 accumulator).  The squared term
-    # splits by mask shape:
-    #   - all targets full-mask (every interior, non-initial ring — the hot
-    #     case): it is target-independent → EXACT planar i32 SATs (Σ_ch a'²
-    #     split 256·hi+lo so the full-image cumsums stay inside i32), and
-    #     the conv contraction drops from K=1521 to K=507.  The round-2
-    #     9-plane conv ran at 33% of bf16 MXU peak, im2col/layout-bound, so
-    #     cutting K 3× is the direct lever (an int8 conv formulation was
-    #     tried and is 1.9× SLOWER — XLA's TPU s8 conv does not hit the
-    #     int8 MXU path).
-    #   - any partial mask (border targets / the initial pass): a second
-    #     6-plane conv over the exact a'² = 256·hi + lo split with binary
-    #     mask filters [256·m, m] (256·m ≤ 256, exact bf16).
+    # candidate scan: ONE channel-packed dynamic-filter conv on the MXU ------
+    # E'[t, c] = Σ_i m_ti a_ci² − 2 Σ_i m_ti b_ti a_ci is a correlation of
+    # the image with per-target 13×13 filters.  bf16 inputs/filters are
+    # exact (image values are u8-valued ints; a² splits 256·hi + lo with
+    # hi, lo ≤ 255; the cross filter −2·m·b ≤ 510 is even → ≤8 significant
+    # bits); every product is exact in the f32 accumulator and only the
+    # final Σ (≤ ~3·10⁷) rounds, deterministically.
+    #
+    # LAYOUT IS EVERYTHING on the MXU: a (13,13,9,T) conv over (H, W, 9) is
+    # im2col-bound at C_in=9 with a ~1.9 ms FIXED cost at this image size
+    # (33% of bf16 peak; C_in=3 is 1.6× worse still; XLA's s8 conv doesn't
+    # hit the int8 MXU path — both measured, benchmarks r3).  Packing the
+    # kx tap axis into channels — p117[y, x, kx·9+c] = planes9[y, x+kx, c],
+    # 13 static lane-shifted slices — turns it into a (13, 1)-window conv
+    # with C_in = 117 that the MXU packs properly: 3.33 → 0.79 ms at T=256,
+    # 12.2 → 5.1 ms at T=1024 (v5e, 402×700, including the p117 build).
     n_cy = height - 2 * WHALF   # candidate centre rows: WHALF .. H-WHALF-1
     n_cx = width - 2 * WHALF
     ncand = n_cy * n_cx
@@ -259,64 +257,38 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
     box_sum = (ii[k:, k:] - ii[k:, :-k] - ii[:-k, k:] + ii[:-k, :-k])
     valid = (box_sum == 0).reshape(ncand)
 
-    shifted = image_f - jnp.float32(128.0)                   # (H, W, 3) a'
-    # planar (3, H, W) for all elementwise/SAT work — (H, W, 3) layouts put
-    # the 3-channel axis in the 128-lane dim (3% VPU utilization)
-    sq_pl = shifted.transpose(2, 0, 1)
-    sq_pl = sq_pl * sq_pl                                    # a'² ≤ 16384
-    sqsum = sq_pl[0] + sq_pl[1] + sq_pl[2]                   # ≤ 49152
+    b_masked = b * mflat
+    b2_const = jnp.sum(b_masked * b, axis=1)                 # Σ m b²  (T,)
 
-    bshift = b - jnp.float32(128.0)
-    bm = mflat * bshift                                      # m·b' (exact bf16)
-    b2f = jnp.sum(bm * bshift, axis=1)                       # Σ m b'²  (T,)
+    sq = image_f * image_f                                   # exact ints
+    hi = jnp.floor(sq * jnp.float32(1.0 / 256.0))
+    lo = sq - hi * jnp.float32(256.0)
+    planes = jnp.concatenate([hi, lo, image_f], axis=2)      # (H, W, 9)
+    # pack kx into channels: 13 static lane-shifted slices
+    p117 = jnp.concatenate([planes[:, kx : kx + n_cx, :] for kx in range(k)],
+                           axis=2)                           # (H, n_cx, 117)
 
-    def bf16_conv(x_hwc, filt_flat, nch):
-        # filt_flat: (T, nch·k·k) in (c, ky, kx) order, values exact in bf16
-        f = (filt_flat.reshape(t, nch, k, k).transpose(2, 3, 1, 0)
-             .astype(jnp.bfloat16))                          # (k, k, nch, T)
-        x = x_hwc.astype(jnp.bfloat16)[None]
-        dn = jax.lax.conv_dimension_numbers(x.shape, f.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        return jax.lax.conv_general_dilated(
-            x, f, (1, 1), "VALID", dimension_numbers=dn,
-            preferred_element_type=jnp.float32)[0].reshape(ncand, t)
+    m4 = mflat.reshape(t, 3, k, k)
+    bm4 = b_masked.reshape(t, 3, k, k)
+    filt = jnp.concatenate(
+        [m4 * jnp.float32(256.0), m4, jnp.float32(-2.0) * bm4],
+        axis=1)                                              # (T, 9, ky, kx)
+    # (T, 9, ky, kx) → (ky, kx, 9, T) → merge (kx, 9) → (ky, 1, 117, T)
+    f117 = (filt.transpose(2, 3, 1, 0).reshape(k, 1, k * 9, t)
+            .astype(jnp.bfloat16))
 
-    cross = bf16_conv(shifted, bm, 3)                        # Σ m b' a'
-
-    all_full = jnp.all(mflat > 0)
-
-    def sq_fast(_):
-        # Σ_ch a'² box-sum via EXACT i32 SATs: the raw cumsum peaks at
-        # 49152·H·W ≈ 1.4e10 > 2³¹, so SAT the 256·hi + lo split (cumsums
-        # ≤ 5.4e7 / 7.2e7) and recombine — exact, target-independent
-        s_i = sqsum.astype(jnp.int32)
-        hi = s_i >> 8
-        lo = s_i & 255
-
-        def box_i32(p):
-            c = jnp.pad(jnp.cumsum(jnp.cumsum(p, axis=0), axis=1),
-                        [(1, 0), (1, 0)])
-            return c[k:, k:] - c[k:, :-k] - c[:-k, k:] + c[:-k, :-k]
-
-        s2 = (256 * box_i32(hi) + box_i32(lo)).astype(jnp.float32)
-        return jnp.broadcast_to(s2.reshape(ncand, 1), (ncand, t))
-
-    def sq_slow(_):
-        hi = jnp.floor(sq_pl * jnp.float32(1.0 / 256.0))
-        lo = sq_pl - hi * jnp.float32(256.0)
-        planes = jnp.concatenate([hi, lo], axis=0).transpose(1, 2, 0)
-        filt = jnp.concatenate([mflat * jnp.float32(256.0), mflat], axis=1)
-        return bf16_conv(planes, filt, 6)
-
-    s2 = jax.lax.cond(all_full, sq_fast, sq_slow, operand=None)
-
-    e = s2 - jnp.float32(2.0) * cross + b2f[None, :]
+    x = p117.astype(jnp.bfloat16)[None]                      # (1, H, n_cx, 117)
+    dn = jax.lax.conv_dimension_numbers(x.shape, f117.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    e = jax.lax.conv_general_dilated(
+        x, f117, (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)[0].reshape(ncand, t)
     e = jnp.where(valid[:, None], e, jnp.float32(np.inf))
     # argmin returns the FIRST minimum → candidate scan order is raster order
     # of window top-lefts, same tie-break as the reference's y/x loops
     idx = jnp.argmin(e, axis=0)                              # (T,)
     emin = jnp.take_along_axis(e, idx[None, :], axis=0)[0]
-    best_e = jnp.where(tvalid, emin, 0.0)
+    best_e = jnp.where(tvalid, emin + b2_const, 0.0)
     best_y = (idx // n_cx + WHALF).astype(jnp.int32)
     best_x = (idx % n_cx + WHALF).astype(jnp.int32)
     return best_e, best_y, best_x
@@ -486,15 +458,18 @@ class WexlerInpainting:
 
     def _construct_pyramid(self, src: np.ndarray, mask: np.ndarray):
         """Reference :68-91: pyrDown until the next level's floor-halved
-        min dimension drops below pyramid_bottom_size.  Level 0 is a copy —
-        the fill loop mutates it (the reference clones too, :69-70)."""
-        srcs, masks = [np.array(src, copy=True)], [np.array(mask, copy=True)]
+        min dimension drops below pyramid_bottom_size.  The source pyramid
+        stays DEVICE-RESIDENT (the fill loop rebinds levels rather than
+        mutating); the mask pyramid is fetched to the host in ONE round
+        trip (weights/bbox/contours are host work)."""
+        import jax as _jax
+
+        srcs = [jnp.asarray(src)]
+        masks_dev = [jnp.asarray(mask)]
         while min(srcs[-1].shape[0] // 2, srcs[-1].shape[1] // 2) >= self.pyramid_bottom_size:
-            # np.array copies: np.asarray of a jax array is a read-only view,
-            # and the fill loop mutates the levels in place
-            srcs.append(np.array(pyr_down(srcs[-1])))
-            masks.append(np.array(pyr_down(masks[-1])))
-        return srcs, masks
+            srcs.append(pyr_down(srcs[-1]))
+            masks_dev.append(pyr_down(masks_dev[-1]))
+        return srcs, _jax.device_get(masks_dev)
 
     @staticmethod
     def _hole_bbox(hole: np.ndarray):
@@ -592,7 +567,7 @@ class WexlerInpainting:
                 img_dev, hole_dev, weight_dev, *hole.shape,
                 max_loop=self.max_loop, cap=ecap, bbox_size=bbox[0],
                 bbox_origin=jnp.asarray(bbox[1], jnp.int32))
-            srcs[layer] = np.array(img_dev)
+            srcs[layer] = img_dev   # device-resident; no per-level download
             if self.verbose:
                 for i, e in enumerate(np.asarray(energies)):
                     if np.isnan(e):
@@ -600,14 +575,20 @@ class WexlerInpainting:
                     self._log(f"  loop {i + 1}: energy {e}")
 
             if layer > 0:
-                up = np.asarray(pyr_up(srcs[layer],
-                                       out_shape=srcs[layer - 1].shape[:2]))
-                hole = masks[layer - 1] > 0
-                srcs[layer - 1][hole] = up[hole]
+                # pyrUp masked copy ON DEVICE (reference :52-57): the whole
+                # level loop stays one async stream — the only forced syncs
+                # are the coarsest level's initial-fill energy scalar and
+                # the final download (per-level downloads/pyrUp round trips
+                # cost ~0.3 s of mosaic_dog wall time through the tunnel)
+                up = pyr_up(img_dev, out_shape=masks[layer - 1].shape[:2])
+                hole_next = jnp.asarray(masks[layer - 1] > 0)
+                srcs[layer - 1] = jnp.where(hole_next[:, :, None], up,
+                                            jnp.asarray(srcs[layer - 1]))
 
             if ckpt_path is not None:
                 np.savez(ckpt_path, num_layers=num_layers,
                          next_layer=layer - 1, do_initial=do_initial,
-                         **{f"src_{i}": srcs[i] for i in range(num_layers)})
+                         **{f"src_{i}": np.asarray(srcs[i])
+                            for i in range(num_layers)})
 
-        return srcs[0]
+        return np.array(srcs[0])
