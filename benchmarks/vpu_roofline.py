@@ -21,7 +21,7 @@ jax.config.update("jax_compilation_cache_dir",
 from various_image_processings_tpu.utils.profiling import measure_chained
 
 
-def rate(kind: str, n_ops: int, th=256, tw=1024, rows=2048, cols=4096):
+def rate(kind: str, n_ops: int, th=256, tw=1024, rows=4096, cols=4096):
     def kernel(x_ref, o_ref):
         a = x_ref[...]
         acc = a
@@ -56,14 +56,16 @@ def rate(kind: str, n_ops: int, th=256, tw=1024, rows=2048, cols=4096):
 def main():
     print("device:", jax.devices()[0], flush=True)
     for kind in ("add", "fma", "exp"):
-        # two op counts: the slope removes the fixed memory-traffic cost
-        ms_lo, _ = rate(kind, 16)
-        ms_hi, _ = rate(kind, 48)
-        slope_ms = (ms_hi - ms_lo) / 32.0   # ms per op-pass over the array
-        n = 2048 * 4096
+        # two op counts: the slope removes the fixed memory-traffic cost.
+        # Counts are large so the slope is multi-ms (sub-ms timings carry
+        # ±35% tunnel variance — CLAUDE.md)
+        ms_lo, _ = rate(kind, 64)
+        ms_hi, _ = rate(kind, 256)
+        slope_ms = (ms_hi - ms_lo) / 192.0   # ms per op-pass over the array
+        n = 4096 * 4096
         tput = n / (slope_ms * 1e-3) / 1e12
         print(f"{kind:>4}: {tput:6.2f} T op/s  "
-              f"(16-op {ms_lo:.2f} ms, 48-op {ms_hi:.2f} ms)", flush=True)
+              f"(64-op {ms_lo:.2f} ms, 256-op {ms_hi:.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":

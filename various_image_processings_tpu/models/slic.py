@@ -153,12 +153,44 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
                   .reshape(height, width))
 
     big = jnp.float32(np.finfo(np.float32).max)
-    # pad to whole cells so per-cell reductions are pure reshapes
+    # pad to whole cells so per-cell min-reductions are pure reshapes
     pad_y = per_col * sp_size - height
     pad_x = per_row * sp_size - width
 
-    def upsample(grid_vals):
-        """(per_col, per_row, C) → (H, W, C) by cell repetition."""
+    # Cell-membership indicator matrices: Ah[h, c] = 1 iff image row h lies
+    # in cell-row c (ragged last cell included).  Cell↔image moves become
+    # MXU matmuls: sp_size generally divides neither 8 (sublanes) nor 128
+    # (lanes), so reshape/repeat-based cell reductions relayout every plane
+    # (S=26 k-means measured 2.9× slower than the aligned S=32); indicator
+    # matmuls keep every image-space array in its natural (H, W) layout.
+    # Precision.HIGHEST keeps the products exact: every operand is an
+    # integer-valued f32 ≤ 2¹⁸ against a 0/1 indicator, covered by the
+    # f32-as-bf16-triple contraction (exactness pinned by tests vs the
+    # reshape formulation and the reference oracle).
+    _hi = jax.lax.Precision.HIGHEST
+    Ah = jnp.asarray((np.arange(height)[:, None] // sp_size
+                      == np.arange(per_col)[None, :]).astype(np.float32))
+    Aw = jnp.asarray((np.arange(width)[:, None] // sp_size
+                      == np.arange(per_row)[None, :]).astype(np.float32))
+
+    def upsample_pl(grid_vals):
+        """(C, per_col, per_row) → (C, H, W) by cell repetition, as two
+        indicator matmuls (values ≤ 511, exact under HIGHEST)."""
+        return jnp.einsum("fcd,hc,wd->fhw", grid_vals, Ah, Aw,
+                          precision=_hi)
+
+    def cell_sum(masked_feats):
+        """(F, H, W) → (F, per_col, per_row) per-cell sums on the MXU.
+        Exact: integer-valued f32 summands, counts ≤ S², partial sums well
+        below 2²⁴."""
+        return jnp.einsum("fhw,hc,wd->fcd", masked_feats, Ah, Aw,
+                          precision=_hi,
+                          preferred_element_type=jnp.float32)
+
+    def upsample1(grid_vals):
+        """(per_col, per_row) → (H, W) by repeat — used for the snap min
+        keys, whose floor(dist) values reach ~2¹⁸ and are NOT guaranteed
+        exact through a bf16-split matmul."""
         up = jnp.repeat(jnp.repeat(grid_vals, sp_size, axis=0), sp_size, axis=1)
         return up[:height, :width]
 
@@ -175,13 +207,13 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         the sequential semantics vectorize as a running (dist, label)
         prefix-min with per-plane membership accumulation.
         """
-        cgrid = centers.reshape(per_col, per_row, 5)
+        cgrid = centers.reshape(per_col, per_row, 5).transpose(2, 0, 1)
         run_d = dists
         run_l = labels
         updated = jnp.int32(0)
         feats = jnp.stack([xs, ys, pix_l, pix_a, pix_b,
-                           jnp.ones((height, width), jnp.float32)], axis=-1)
-        sums = jnp.zeros((per_col, per_row, 6), jnp.float32)
+                           jnp.ones((height, width), jnp.float32)], axis=0)
+        sums = jnp.zeros((6, per_col, per_row), jnp.float32)
         # 5×5 cell neighbourhood: covers every center whose CURRENT position
         # drifted up to two cells from its home cell — a superset of the
         # reference's ±S windows for any drift ≤ 2S (3×3 missed drifted
@@ -190,19 +222,19 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
             for dx in (-2, -1, 0, 1, 2):
                 # shift the center grid so cell (gy, gx) sees neighbour
                 # (gy+dy, gx+dx); out-of-range cells are invalid
-                shifted = jnp.roll(cgrid, (-dy, -dx), axis=(0, 1))
-                plane = upsample(shifted)                      # (H, W, 5)
+                shifted = jnp.roll(cgrid, (-dy, -dx), axis=(1, 2))
+                plane = upsample_pl(shifted)                   # (5, H, W)
                 ncy = gy + dy
                 ncx = gx + dx
                 in_range = ((ncy >= 0) & (ncy < per_col)
                             & (ncx >= 0) & (ncx < per_row))
-                cxp, cyp = plane[:, :, 0], plane[:, :, 1]
+                cxp, cyp = plane[0], plane[1]
                 # reference window: |x−cx| ≤ S and |y−cy| ≤ S (:243-246)
                 covered = (jnp.abs(xs - cxp) <= sp_size) & (jnp.abs(ys - cyp) <= sp_size)
                 scanned = in_range & covered
                 d = (space_norm * ((xs - cxp) ** 2 + (ys - cyp) ** 2)
                      + color_norm * color_dist(
-                         plane[:, :, 2], plane[:, :, 3], plane[:, :, 4],
+                         plane[2], plane[3], plane[4],
                          pix_l, pix_a, pix_b))
                 d = jnp.where(scanned, d, big)
                 lbl = ((ncy * per_row + ncx)).astype(jnp.int32)
@@ -214,16 +246,14 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
                 # currently labelled with it (stolen-later pixels still count).
                 # The plane's pixel→center map is regular (cell (gy,gx) →
                 # center (gy+dy, gx+dx)), so the accumulation is a dense
-                # per-cell reshape-reduction + grid shift — no scatter.
+                # per-cell indicator matmul + grid shift — no scatter.
                 member = scanned & (run_l == lbl)
-                contrib = jnp.where(member[:, :, None], feats, 0.0)
-                contrib = jnp.pad(contrib, [(0, pad_y), (0, pad_x), (0, 0)])
-                cell = contrib.reshape(per_col, sp_size, per_row, sp_size,
-                                       6).sum(axis=(1, 3))
+                contrib = jnp.where(member[None], feats, 0.0)
+                cell = cell_sum(contrib)
                 # out-of-range contributions are zero (member ⊆ in_range),
                 # so the roll wrap-around carries only zeros
-                sums = sums + jnp.roll(cell, (dy, dx), axis=(0, 1))
-        return run_l, run_d, updated, sums.reshape(n, 6)
+                sums = sums + jnp.roll(cell, (dy, dx), axis=(1, 2))
+        return run_l, run_d, updated, sums.reshape(6, n).T
 
     def center_means(centers, sums):
         counts = sums[:, 5:6]
@@ -246,18 +276,18 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         measured 14.6 ms/iter on 512² v5e; this is ~3 ms).  Pass A finds
         each center's min floor-key, pass B the first (raster) pixel
         attaining it."""
-        mgrid = means.reshape(per_col, per_row, 5)
+        mgrid = means.reshape(per_col, per_row, 5).transpose(2, 0, 1)
 
         def plane_info(dy, dx):
-            shifted = jnp.roll(mgrid, (-dy, -dx), axis=(0, 1))
-            plane = upsample(shifted)
+            shifted = jnp.roll(mgrid[2:], (-dy, -dx), axis=(1, 2))
+            plane = upsample_pl(shifted)                       # (3, H, W)
             ncy = gy + dy
             ncx = gx + dx
             in_range = ((ncy >= 0) & (ncy < per_col)
                         & (ncx >= 0) & (ncx < per_row))
             lbl = (ncy * per_row + ncx).astype(jnp.int32)
             member = in_range & (labels == lbl)
-            d = color_dist(plane[:, :, 2], plane[:, :, 3], plane[:, :, 4],
+            d = color_dist(plane[0], plane[1], plane[2],
                            pix_l, pix_a, pix_b)
             return member, jnp.floor(d)
 
@@ -274,8 +304,7 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         first = jnp.full((per_col, per_row), big_i)
         for dy, dx in offsets_5x5:
             member, key = plane_info(dy, dx)
-            mk_plane = upsample(
-                jnp.roll(minkey[:, :, None], (-dy, -dx), axis=(0, 1)))[:, :, 0]
+            mk_plane = upsample1(jnp.roll(minkey, (-dy, -dx), axis=(0, 1)))
             is_min = member & (key == mk_plane)
             pick = jnp.where(is_min, flat_index, big_i)
             pick = jnp.pad(pick, [(0, pad_y), (0, pad_x)],

@@ -125,6 +125,7 @@ def _make_kernel(plan, taps, coeff, joint: bool, rounding: str = "trunc"):
     (≤1 u8, inside the parity contract)."""
     th, tw, r = plan.th, plan.tw, plan.radius
     center_ws, pairs = _split_pairs(taps, r)
+    lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
 
     def compute(src_ref, guide_ref, out_ref):
         # center tap: weight is exactly center_ws (dist = 0); pairs never
@@ -141,7 +142,11 @@ def _make_kernel(plan, taps, coeff, joint: bool, rounding: str = "trunc"):
                   for c in range(3)]
             dist = (jnp.abs(gd[0] - ge[0]) + jnp.abs(gd[1] - ge[1])
                     + jnp.abs(gd[2] - ge[2]))
-            wk = np.float32(ws) * jnp.exp(dist * dist * coeff)
+            # ws·exp(d²·coeff) folded into one exp2: exp lowers to
+            # exp2(x·log2e) anyway, so pre-scaling coeff and carrying ws as
+            # a log₂ addend turns mul+exp+mul into fma+exp2 (weight differs
+            # by ≤2 ulp from the factored form — inside the ±1 u8 contract)
+            wk = jnp.exp2(dist * dist * lg_coeff + np.float32(np.log2(ws)))
             # pixel p of the tile sits at extended index (ty, mx); its pair
             # partner p−d at (0, mx−tx)
             w1 = wk[ty : ty + th, mx : mx + tw]
@@ -179,6 +184,7 @@ def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
     reference's sequential (ky, kx) order by f32 reassociation only
     (inside the ±1 u8 contract)."""
     th, tw, r = plan.th, plan.tw, plan.radius
+    lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
 
     def compute(src_ref, guide_ref, acc_ref):
         if center_ws is not None:
@@ -198,7 +204,8 @@ def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
                   for c in range(3)]
             dist = (jnp.abs(gd[0] - ge[0]) + jnp.abs(gd[1] - ge[1])
                     + jnp.abs(gd[2] - ge[2]))
-            wk = np.float32(ws) * jnp.exp(dist * dist * coeff)
+            # fma+exp2 folded weight — see _make_kernel
+            wk = jnp.exp2(dist * dist * lg_coeff + np.float32(np.log2(ws)))
             w1 = wk[ty : ty + th, mx : mx + tw]
             c2 = mx - tx
             w2 = wk[0:th, c2 : c2 + tw]

@@ -87,12 +87,13 @@ def _make_blur_rtv_kernel(plan, ksize):
     return kernel
 
 
-def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int):
+def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int,
+                        tile=(32, 512)):
     """(H,W,3) f32 u8-valued image + (H,W) f32 magnitude →
     ((H,W,3) f32 blurred, (H,W) f32 rtv)."""
     h, w, _ = img_f32.shape
     radius = ksize // 2
-    plan = plan_tiles(h, w, radius, th=32, tw=256)
+    plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     img_p = to_planar_padded(img_f32, plan)
     mag_p = to_planar_padded(magnitude, plan)
     out_shapes = (
@@ -171,11 +172,12 @@ def _make_guide_kernel(plan, ksize):
     return kernel
 
 
-def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
+def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int,
+                 tile=(32, 512)) -> jax.Array:
     """((H,W,3) f32, (H,W) f32) → (H,W,3) u8 guide."""
     h, w, _ = blurred.shape
     radius = ksize // 2
-    plan = plan_tiles(h, w, radius, th=32, tw=256)
+    plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     blur_p = to_planar_padded(blurred, plan)
     rtv_p = to_planar_padded(rtv, plan)
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.float32)
