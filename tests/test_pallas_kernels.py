@@ -116,3 +116,27 @@ def test_pallas_chunked_joint_rectangular():
     expected = golden.joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508)
     actual = joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508, impl="pallas")
     assert max_diff(actual, expected) <= 1
+
+
+@pytest.mark.parametrize("border,rounding", [("replicate", "trunc"),
+                                             ("reflect101", "rint")])
+def test_planar_joint_bilateral_matches_hwc(border, rounding):
+    """The planar (3,H,W) entry the BTF pipeline uses must be bit-identical
+    to the HWC path for both JBF semantics (reference-CUDA and
+    cv::ximgproc); exercises pad_planar's replicate AND reflect-101
+    borders and the planar split path at k=17."""
+    import jax.numpy as jnp
+    from various_image_processings_tpu.ops.pallas.bilateral import (
+        joint_bilateral_pallas, joint_bilateral_pallas_planar)
+
+    src = random_image(41, 57)
+    guide = random_image(41, 57)[::-1].copy()
+    hwc = joint_bilateral_pallas(jnp.asarray(src), jnp.asarray(guide), 17,
+                                 8.0, float(np.sqrt(np.float32(3.0))),
+                                 border=border, rounding=rounding)
+    planar = joint_bilateral_pallas_planar(
+        jnp.asarray(src).transpose(2, 0, 1),
+        jnp.asarray(guide).astype(jnp.float32).transpose(2, 0, 1), 17,
+        8.0, float(np.sqrt(np.float32(3.0))),
+        border=border, rounding=rounding)
+    assert max_diff(planar.transpose(1, 2, 0), hwc) == 0

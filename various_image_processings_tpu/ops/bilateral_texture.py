@@ -113,15 +113,22 @@ def _btf_jit(src: jax.Array, ksize: int, nitr: int, impl: str,
         from .pallas.bilateral_texture import btf_iteration_pallas
         iteration = functools.partial(btf_iteration_pallas, ksize=ksize,
                                       border=border, rounding=rounding)
-    else:
-        def iteration(img_u8):
-            img_f = img_u8.astype(jnp.float32)
-            magnitude = _gradient_math(img_f)
-            blurred, rtv = _blur_and_rtv_math(img_f, magnitude, ksize)
-            guide = _guide_math(blurred, rtv, ksize)
-            return _bilateral_math(img_f, guide, jbf_ksize,
-                                   jbf_sigma_space, jbf_sigma_color,
-                                   border, rounding)
+        # the pallas pipeline is planar end-to-end: transpose ONCE at the
+        # pipeline boundary, not per stage (HWC↔CHW relayouts with C=3 in
+        # the lane dim cost ~0.06 ms each at 600×900 on v5e)
+        src_p = src.transpose(2, 0, 1)
+        out_p = jax.lax.fori_loop(0, nitr, lambda _, img: iteration(img),
+                                  src_p, unroll=False)
+        return out_p.transpose(1, 2, 0)
+
+    def iteration(img_u8):
+        img_f = img_u8.astype(jnp.float32)
+        magnitude = _gradient_math(img_f)
+        blurred, rtv = _blur_and_rtv_math(img_f, magnitude, ksize)
+        guide = _guide_math(blurred, rtv, ksize)
+        return _bilateral_math(img_f, guide, jbf_ksize,
+                               jbf_sigma_space, jbf_sigma_color,
+                               border, rounding)
 
     return jax.lax.fori_loop(0, nitr, lambda _, img: iteration(img), src,
                              unroll=False)

@@ -100,6 +100,44 @@ def to_planar_padded(img_hwc: jax.Array, plan: TilePlan,
     return padded.transpose(2, 0, 1)
 
 
+def pad_planar(img_chw: jax.Array, plan: TilePlan,
+               dtype=jnp.float32, border: str = "replicate") -> jax.Array:
+    """(C, H, W) planar → (C, padded_rows, padded_cols), same halo semantics
+    as ``to_planar_padded`` but without the HWC↔planar relayout — staying
+    planar between pipeline stages (BTF) saves ~0.06 ms per transpose on a
+    600×900 f32 image (the 3-wide channel axis in the 128-lane dim makes
+    HWC↔CHW pathologically slow on TPU)."""
+    r = plan.radius
+    img = img_chw.astype(dtype)
+    c = img.shape[0]
+
+    def edge_pad(x, top, bottom, left, right):
+        if top or bottom:
+            parts = []
+            if top:
+                parts.append(jnp.broadcast_to(x[:, :1], (c, top, x.shape[2])))
+            parts.append(x)
+            if bottom:
+                parts.append(jnp.broadcast_to(x[:, -1:], (c, bottom, x.shape[2])))
+            x = jnp.concatenate(parts, axis=1)
+        if left or right:
+            parts = []
+            if left:
+                parts.append(jnp.broadcast_to(x[:, :, :1], (c, x.shape[1], left)))
+            parts.append(x)
+            if right:
+                parts.append(jnp.broadcast_to(x[:, :, -1:], (c, x.shape[1], right)))
+            x = jnp.concatenate(parts, axis=2)
+        return x
+
+    if border == "reflect101" and r > 0:
+        img = jnp.pad(img, [(0, 0), (r, r), (r, r)], mode="reflect")
+        return edge_pad(img, 0, plan.padded_rows - img.shape[1],
+                        0, plan.padded_cols - img.shape[2])
+    return edge_pad(img, r, plan.padded_rows - r - plan.height,
+                    r, plan.padded_cols - r - plan.width)
+
+
 def from_planar(out_planar: jax.Array, plan: TilePlan) -> jax.Array:
     """(C, out_rows, out_cols) → (H, W, C) cropped."""
     return out_planar[:, : plan.height, : plan.width].transpose(1, 2, 0)

@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from ...core.luts import gauss_coeff_f32
 from ..bilateral import nonzero_taps
 from .._dispatch import pallas_interpret
-from ._stencil import (plan_tiles, to_planar_padded, from_planar,
+from ._stencil import (plan_tiles, to_planar_padded, from_planar, pad_planar,
                        halo_in_spec, tile_out_spec, stencil_call)
 
 # beyond this tap count even a (32, 128) tile overflows the VMEM temp budget
@@ -231,14 +231,17 @@ def _make_partial_kernel(plan, pairs, center_ws, coeff, joint: bool):
 
 def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
                tile=(32, 512), border: str = "replicate",
-               rounding: str = "trunc"):
+               rounding: str = "trunc", planar: bool = False):
     """Mid-size stencils (MAX_UNROLL < taps ≤ a few×MAX_UNROLL): several
     fully-unrolled partial-accumulator kernels + an XLA combine — measured
     ~2.5× the throughput of the rolled chunked kernel at k=17 (the rolls
     relayout the whole halo block once per tap row).  ``tile`` is exposed
     for hardware tile sweeps; production callers use the measured
-    default."""
-    h, w, _ = src_u8.shape
+    default.  planar=True: (3, H, W) in/out, no HWC relayouts."""
+    if planar:
+        _, h, w = src_u8.shape
+    else:
+        h, w, _ = src_u8.shape
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
     center_ws, pairs = _split_pairs(taps, radius)
@@ -257,11 +260,12 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
               for i in range(nchunks)]
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
-    src_p = to_planar_padded(src_u8, plan, border=border)
+    prep = pad_planar if planar else to_planar_padded
+    src_p = prep(src_u8, plan, border=border)
     args = (src_p,)
     in_specs = [halo_in_spec(plan)]
     if joint:
-        guide_p = to_planar_padded(guide_u8, plan, border=border)
+        guide_p = prep(guide_u8, plan, border=border)
         args = (src_p, guide_p)
         in_specs = [halo_in_spec(plan), halo_in_spec(plan)]
     out_shape = jax.ShapeDtypeStruct((4, plan.out_rows, plan.out_cols),
@@ -284,6 +288,8 @@ def _run_split(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
         out = jnp.rint(total[:3] * inv).astype(jnp.uint8)
     else:
         out = jnp.floor(total[:3] * inv + jnp.float32(0.5)).astype(jnp.uint8)
+    if planar:
+        return out[:, :h, :w]
     return from_planar(out, plan)
 
 
@@ -416,8 +422,12 @@ def _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
 
 
 def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
-         border: str = "replicate", rounding: str = "trunc"):
-    h, w, _ = src_u8.shape
+         border: str = "replicate", rounding: str = "trunc",
+         planar: bool = False):
+    if planar:
+        _, h, w = src_u8.shape
+    else:
+        h, w, _ = src_u8.shape
     radius = ksize // 2
     taps = nonzero_taps(ksize, sigma_space)
     tile = pick_tile(len(taps), joint)
@@ -425,16 +435,23 @@ def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
         if len(taps) <= 4 * MAX_UNROLL_TAPS:
             out = _run_split(src_u8, guide_u8, ksize, sigma_space,
                              sigma_color, joint, border=border,
-                             rounding=rounding)
+                             rounding=rounding, planar=planar)
             if out is not None:
                 return out
         # very large stencil: tap-row-chunked kernel (3rd grid dim over ky)
+        if planar:  # _run_chunked is HWC-only (no planar caller needs it)
+            src_u8 = src_u8.transpose(1, 2, 0)
+            guide_u8 = guide_u8.transpose(1, 2, 0) if joint else guide_u8
+            return _run_chunked(src_u8, guide_u8, ksize, sigma_space,
+                                sigma_color, joint, border=border,
+                                rounding=rounding).transpose(2, 0, 1)
         return _run_chunked(src_u8, guide_u8, ksize, sigma_space, sigma_color,
                             joint, border=border, rounding=rounding)
 
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
-    src_p = to_planar_padded(src_u8, plan, border=border)
+    prep = pad_planar if planar else to_planar_padded
+    src_p = prep(src_u8, plan, border=border)
     # pair model: one exp per {d,−d} pair, ~28 flops/pair (≈14/tap)
     n_pairs = len(taps) // 2
     cost = pl.CostEstimate(
@@ -445,13 +462,15 @@ def _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint: bool,
     kernel = _make_kernel(plan, taps, coeff, joint, rounding)
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
     if joint:
-        guide_p = to_planar_padded(guide_u8, plan, border=border)
+        guide_p = prep(guide_u8, plan, border=border)
         out = stencil_call(kernel, plan,
                            [halo_in_spec(plan), halo_in_spec(plan)],
                            tile_out_spec(plan), out_shape, cost)(src_p, guide_p)
     else:
         out = stencil_call(kernel, plan, [halo_in_spec(plan)],
                            tile_out_spec(plan), out_shape, cost)(src_p)
+    if planar:
+        return out[:, :h, :w]
     return from_planar(out, plan)
 
 
@@ -464,6 +483,18 @@ def joint_bilateral_pallas(src_u8: jax.Array, guide_u8: jax.Array, ksize: int,
     ops/bilateral.py::_bilateral_math)."""
     return _run(src_u8, guide_u8, ksize, sigma_space, sigma_color, joint=True,
                 border=border, rounding=rounding)
+
+
+def joint_bilateral_pallas_planar(src_p: jax.Array, guide_p: jax.Array,
+                                  ksize: int, sigma_space: float,
+                                  sigma_color: float,
+                                  border: str = "replicate",
+                                  rounding: str = "trunc") -> jax.Array:
+    """Planar variant: (3, H, W) u8-valued src + guide → (3, H, W) u8 —
+    used by the BTF pipeline to stay planar between stages (each HWC↔CHW
+    relayout costs ~0.06 ms at 600×900 on v5e)."""
+    return _run(src_p, guide_p, ksize, sigma_space, sigma_color, joint=True,
+                border=border, rounding=rounding, planar=True)
 
 
 def bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,

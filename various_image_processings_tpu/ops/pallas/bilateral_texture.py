@@ -28,9 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from ._stencil import (plan_tiles, to_planar_padded, halo_in_spec,
+from ._stencil import (plan_tiles, to_planar_padded, pad_planar, halo_in_spec,
                        tile_out_spec, stencil_call)
-from .bilateral import joint_bilateral_pallas
+from .bilateral import joint_bilateral_pallas_planar
 from .gradient import gradient_pallas
 
 EPSILON = np.float32(1e-9)
@@ -87,15 +87,15 @@ def _make_blur_rtv_kernel(plan, ksize):
     return kernel
 
 
-def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int,
-                        tile=(32, 512)):
-    """(H,W,3) f32 u8-valued image + (H,W) f32 magnitude →
-    ((H,W,3) f32 blurred, (H,W) f32 rtv)."""
-    h, w, _ = img_f32.shape
+def blur_and_rtv_pallas_planar(img_p3: jax.Array, magnitude: jax.Array,
+                               ksize: int, tile=(32, 512)):
+    """(3,H,W) f32 u8-valued image + (H,W) f32 magnitude →
+    ((3,H,W) f32 blurred, (H,W) f32 rtv) — planar in/out (no relayouts)."""
+    _, h, w = img_p3.shape
     radius = ksize // 2
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
-    img_p = to_planar_padded(img_f32, plan)
-    mag_p = to_planar_padded(magnitude, plan)
+    img_p = pad_planar(img_p3, plan)
+    mag_p = pad_planar(magnitude[None], plan)
     out_shapes = (
         jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.float32),
         jax.ShapeDtypeStruct((1, plan.out_rows, plan.out_cols), jnp.float32),
@@ -111,7 +111,16 @@ def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int,
         [halo_in_spec(plan, 3), halo_in_spec(plan, 1)],
         (tile_out_spec(plan, 3), tile_out_spec(plan, 1)),
         out_shapes, cost)(img_p, mag_p)
-    return (blurred[:, :h, :w].transpose(1, 2, 0), rtv[0, :h, :w])
+    return (blurred[:, :h, :w], rtv[0, :h, :w])
+
+
+def blur_and_rtv_pallas(img_f32: jax.Array, magnitude: jax.Array, ksize: int,
+                        tile=(32, 512)):
+    """(H,W,3) f32 u8-valued image + (H,W) f32 magnitude →
+    ((H,W,3) f32 blurred, (H,W) f32 rtv)."""
+    blurred, rtv = blur_and_rtv_pallas_planar(img_f32.transpose(2, 0, 1),
+                                              magnitude, ksize, tile)
+    return blurred.transpose(1, 2, 0), rtv
 
 
 def _make_guide_kernel(plan, ksize):
@@ -172,14 +181,15 @@ def _make_guide_kernel(plan, ksize):
     return kernel
 
 
-def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int,
-                 tile=(32, 512)) -> jax.Array:
-    """((H,W,3) f32, (H,W) f32) → (H,W,3) u8 guide."""
-    h, w, _ = blurred.shape
+def guide_pallas_planar(blurred_p3: jax.Array, rtv: jax.Array, ksize: int,
+                        tile=(32, 512)) -> jax.Array:
+    """((3,H,W) f32, (H,W) f32) → (3,H,W) f32 u8-valued guide — planar
+    in/out (stays f32: the downstream planar JBF pads to f32 anyway)."""
+    _, h, w = blurred_p3.shape
     radius = ksize // 2
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
-    blur_p = to_planar_padded(blurred, plan)
-    rtv_p = to_planar_padded(rtv, plan)
+    blur_p = pad_planar(blurred_p3, plan)
+    rtv_p = pad_planar(rtv[None], plan)
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.float32)
     n_taps = ksize * ksize
     cost = pl.CostEstimate(
@@ -190,22 +200,32 @@ def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int,
     out = stencil_call(_make_guide_kernel(plan, ksize), plan,
                        [halo_in_spec(plan, 3), halo_in_spec(plan, 1)],
                        tile_out_spec(plan, 3), out_shape, cost)(blur_p, rtv_p)
-    return out[:, :h, :w].transpose(1, 2, 0).astype(jnp.uint8)
+    return out[:, :h, :w]
 
 
-def btf_iteration_pallas(img_u8: jax.Array, ksize: int,
+def guide_pallas(blurred: jax.Array, rtv: jax.Array, ksize: int,
+                 tile=(32, 512)) -> jax.Array:
+    """((H,W,3) f32, (H,W) f32) → (H,W,3) u8 guide."""
+    out = guide_pallas_planar(blurred.transpose(2, 0, 1), rtv, ksize, tile)
+    return out.transpose(1, 2, 0).astype(jnp.uint8)
+
+
+def btf_iteration_pallas(img_p3: jax.Array, ksize: int,
                          border: str = "replicate",
                          rounding: str = "trunc") -> jax.Array:
     """One BTF iteration (gradient → blur+mRTV → guide → JBF), the hot
-    stages as Pallas kernels. Counterpart of the loop body at
+    stages as Pallas kernels, PLANAR (3,H,W) u8 in/out — the pipeline never
+    leaves planar layout (each HWC↔CHW relayout costs ~0.06 ms at 600×900
+    on v5e; the old HWC-interfaced pipeline paid ~7 per iteration).
+    Counterpart of the loop body at
     src/bilateral_texture_filter_impl.cu:205-211.  border/rounding configure
     the final JBF stage (variant="cpp" → reflect101/rint, matching
     cv::ximgproc::jointBilateralFilter)."""
-    img_f = img_u8.astype(jnp.float32)
-    magnitude = gradient_pallas(img_f)
-    blurred, rtv = blur_and_rtv_pallas(img_f, magnitude, ksize)
-    guide = guide_pallas(blurred, rtv, ksize)
+    img_f = img_p3.astype(jnp.float32)
+    magnitude = gradient_pallas(img_p3, planar=True)
+    blurred, rtv = blur_and_rtv_pallas_planar(img_f, magnitude, ksize)
+    guide = guide_pallas_planar(blurred, rtv, ksize)
     sigma_color = float(np.sqrt(np.float32(3.0), dtype=np.float32))
-    return joint_bilateral_pallas(img_u8, guide, 2 * ksize - 1,
-                                  float(ksize - 1), sigma_color,
-                                  border=border, rounding=rounding)
+    return joint_bilateral_pallas_planar(img_p3, guide, 2 * ksize - 1,
+                                         float(ksize - 1), sigma_color,
+                                         border=border, rounding=rounding)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._stencil import (plan_tiles, to_planar_padded, halo_in_spec,
+from ._stencil import (plan_tiles, to_planar_padded, pad_planar, halo_in_spec,
                        stencil_call)
 
 
@@ -40,17 +40,22 @@ def _make_kernel(plan, channels, in_dtype):
     return kernel
 
 
-def gradient_pallas(src: jax.Array) -> jax.Array:
+def gradient_pallas(src: jax.Array, planar: bool = False) -> jax.Array:
     """(H, W, C) u8|f32 → (H, W) f32 gradient magnitude.  u8 inputs stay u8
     through HBM→VMEM (4× less input traffic than pre-converting to f32 —
-    the 3×3 stencil is memory-bound) and convert in-register."""
-    h, w, channels = src.shape
+    the 3×3 stencil is memory-bound) and convert in-register.
+    planar=True: input is (C, H, W) (no HWC relayout — BTF pipeline)."""
+    if planar:
+        channels, h, w = src.shape
+    else:
+        h, w, channels = src.shape
     in_dtype = src.dtype
     # (128, 2048) measured 4.75 ms vs 7.10 at (128, 1024) on 4K v5e (the
     # 3×3 halo DMA amortizes over wider blocks); (256, 2048) OOMs the
     # 16 MB scoped vmem (~4 f32 temps per channel per tile element)
     plan = plan_tiles(h, w, radius=1, th=128, tw=2048)
-    src_p = to_planar_padded(src, plan, dtype=in_dtype)
+    prep = pad_planar if planar else to_planar_padded
+    src_p = prep(src, plan, dtype=in_dtype)
     out_shape = jax.ShapeDtypeStruct((1, plan.out_rows, plan.out_cols), jnp.float32)
     isz = jnp.dtype(in_dtype).itemsize
     cost = pl.CostEstimate(
