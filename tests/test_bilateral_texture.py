@@ -46,3 +46,46 @@ def test_btf_end_to_end_vs_golden():
     # three cascaded ±1-tolerance stages; allow small drift on few pixels
     assert np.percentile(diff, 99.9) <= 2
     assert diff.max() <= 3
+
+
+@pytest.mark.parametrize("n,r", [(8, 8), (5, 12), (12, 8), (1, 4), (3, 3)])
+def test_reflect101_indices_match_opencv(n, r):
+    """cv::BORDER_REFLECT_101 multi-reflects when the pad exceeds the image
+    (borderInterpolate folds repeatedly); jnp.pad(mode='reflect') raises
+    there, so reflect101_pad switches to a static index gather — pin both
+    regimes to cv2.copyMakeBorder."""
+    cv2 = pytest.importorskip("cv2")
+    from various_image_processings_tpu.core.pad import (reflect101_indices,
+                                                       reflect101_pad)
+    img = random_image(n, n)[:, :, 0]
+    expected = cv2.copyMakeBorder(img, r, r, r, r, cv2.BORDER_REFLECT_101)
+    rows = reflect101_indices(n, r, r)
+    cols = reflect101_indices(n, r, r)
+    np.testing.assert_array_equal(img[np.ix_(rows, cols)], expected)
+    np.testing.assert_array_equal(np.asarray(reflect101_pad(jnp.asarray(img), r)),
+                                  expected)
+
+
+def test_btf_cpp_variant_small_image_and_pallas_parity():
+    """variant='cpp' on an image SMALLER than the k=2k-1 JBF radius (the
+    reflect-101 pad must multi-reflect, not raise), and the pallas path must
+    match the xla path within the BTF end-to-end envelope — the oracle test
+    pins xla; this transitively pins the pallas reflect101/rint pipeline
+    (review finding: the cpp claim was only tested on xla)."""
+    src = random_image(8, 60)   # JBF radius 8 >= H-1=7 -> multi-reflection
+    xla = np.asarray(bilateral_texture_filter(src, ksize=5, nitr=2,
+                                              impl="xla", variant="cpp"))
+    pal = np.asarray(bilateral_texture_filter(src, ksize=5, nitr=2,
+                                              impl="pallas", variant="cpp"))
+    diff = np.abs(pal.astype(np.int32) - xla.astype(np.int32))
+    assert np.percentile(diff, 99.9) <= 2
+    assert diff.max() <= 3
+
+    src = random_image(40, 40)
+    xla = np.asarray(bilateral_texture_filter(src, ksize=5, nitr=2,
+                                              impl="xla", variant="cpp"))
+    pal = np.asarray(bilateral_texture_filter(src, ksize=5, nitr=2,
+                                              impl="pallas", variant="cpp"))
+    diff = np.abs(pal.astype(np.int32) - xla.astype(np.int32))
+    assert np.percentile(diff, 99.9) <= 2
+    assert diff.max() <= 3

@@ -205,3 +205,22 @@ def test_batched_abf_and_gradient():
         out[1], np.asarray(adaptive_bilateral_filter(imgs[1], 9, impl="xla")))
     g = np.asarray(gradient_batched(imgs, mesh=mesh, impl="xla"))
     np.testing.assert_array_equal(g[2], np.asarray(gradient(imgs[2], impl="xla")))
+
+
+def test_batched_apply_rank_changing_fn():
+    """batched_apply must support fns whose output rank differs from the
+    input rank (review finding: out_specs built from the INPUT rank raised
+    for e.g. gradient's (H,W,3)->(H,W))."""
+    import jax.numpy as jnp
+
+    from various_image_processings_tpu.core.rng import random_image
+    from various_image_processings_tpu.ops.gradient import _gradient_jit
+    from various_image_processings_tpu.parallel import make_mesh
+    from various_image_processings_tpu.parallel.batch import batched_apply
+
+    mesh = make_mesh(batch=2, spatial=1)
+    imgs = jnp.asarray(np.stack([random_image(16, 16) for _ in range(4)]))
+    out = batched_apply(lambda im: _gradient_jit(im, impl="xla"), imgs, mesh)
+    assert out.shape == (4, 16, 16)
+    single = _gradient_jit(imgs[0], impl="xla")
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(single))

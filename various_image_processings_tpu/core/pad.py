@@ -25,28 +25,65 @@ def replicate_pad_np(img: np.ndarray, radius: int) -> np.ndarray:
     return np.pad(img, pad, mode="edge")
 
 
-def replicate_pad(img, pad_top: int, pad_bottom: int, pad_left: int, pad_right: int):
-    """Edge-pad the two leading spatial dims of an HW[C] jax array.
+def reflect101_indices(n: int, lo: int, hi: int) -> np.ndarray:
+    """Source-index map for cv::BORDER_REFLECT_101 padding: ``lo`` elements
+    before and ``hi`` after an n-element axis, with OpenCV's multi-reflection
+    semantics (borderInterpolate folds repeatedly, so any pad width works —
+    jnp.pad(mode="reflect") raises for pad > n-1).  n == 1 maps everything
+    to 0, like borderInterpolate."""
+    idx = np.arange(-lo, n + hi)
+    if n == 1:
+        return np.zeros_like(idx)
+    period = 2 * n - 2
+    j = np.mod(idx, period)
+    return np.where(j >= n, period - j, j)
+
+
+def reflect101_pad(img, r: int, row_axis: int = 0, col_axis: int = 1):
+    """Reflect-101 pad the given two axes of a jax array by r, valid for ANY
+    r (multi-reflection).  Uses jnp.pad when r fits (r <= n-1 on both axes,
+    the common case); falls back to static index gathers otherwise."""
+    import jax.numpy as jnp
+
+    if r == 0:
+        return img
+    h = img.shape[row_axis]
+    w = img.shape[col_axis]
+    if r <= h - 1 and r <= w - 1:
+        pads = [(0, 0)] * img.ndim
+        pads[row_axis] = (r, r)
+        pads[col_axis] = (r, r)
+        return jnp.pad(img, pads, mode="reflect")
+    img = jnp.take(img, jnp.asarray(reflect101_indices(h, r, r)),
+                   axis=row_axis)
+    return jnp.take(img, jnp.asarray(reflect101_indices(w, r, r)),
+                    axis=col_axis)
+
+
+def replicate_pad(img, pad_top: int, pad_bottom: int, pad_left: int,
+                  pad_right: int, axis: int = 0):
+    """Edge-pad two adjacent spatial dims (``axis``, ``axis+1``) of a jax
+    array — axis=0 for HW[C] layouts, axis=1 for planar CHW.
 
     Implemented with concatenations of edge slices (jnp.pad(mode='edge')
     also works; this form keeps the trace tiny for large radii).
     """
     import jax.numpy as jnp
 
-    if pad_top or pad_bottom:
+    def pad_axis(x, ax, before, after):
+        if not (before or after):
+            return x
+        idx0 = (slice(None),) * ax + (slice(0, 1),)
+        idx1 = (slice(None),) * ax + (slice(-1, None),)
         parts = []
-        if pad_top:
-            parts.append(jnp.broadcast_to(img[:1], (pad_top,) + img.shape[1:]))
-        parts.append(img)
-        if pad_bottom:
-            parts.append(jnp.broadcast_to(img[-1:], (pad_bottom,) + img.shape[1:]))
-        img = jnp.concatenate(parts, axis=0)
-    if pad_left or pad_right:
-        parts = []
-        if pad_left:
-            parts.append(jnp.broadcast_to(img[:, :1], (img.shape[0], pad_left) + img.shape[2:]))
-        parts.append(img)
-        if pad_right:
-            parts.append(jnp.broadcast_to(img[:, -1:], (img.shape[0], pad_right) + img.shape[2:]))
-        img = jnp.concatenate(parts, axis=1)
-    return img
+        if before:
+            shape = x.shape[:ax] + (before,) + x.shape[ax + 1:]
+            parts.append(jnp.broadcast_to(x[idx0], shape))
+        parts.append(x)
+        if after:
+            shape = x.shape[:ax] + (after,) + x.shape[ax + 1:]
+            parts.append(jnp.broadcast_to(x[idx1], shape))
+        return jnp.concatenate(parts, axis=ax)
+
+    img = pad_axis(img, axis, pad_top, pad_bottom)
+    return pad_axis(img, axis + 1, pad_left, pad_right)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.luts import space_kernel, gauss_coeff_f32
-from ..core.pad import replicate_pad
+from ..core.pad import replicate_pad, reflect101_pad
 from . import _validate
 from ._dispatch import resolve_impl
 
@@ -48,9 +48,9 @@ def _pad2d(x: jax.Array, r: int, border: str) -> jax.Array:
         return replicate_pad(x, r, r, r, r)
     # reflect-101 (cv BORDER_DEFAULT): edge pixel not repeated — what
     # cv::ximgproc::jointBilateralFilter uses (probed bit-exact against the
-    # compiled oracle, tests/test_reference_oracle.py::test_jbf_cpp_variant)
-    return jnp.pad(x, [(r, r), (r, r)] + [(0, 0)] * (x.ndim - 2),
-                   mode="reflect")
+    # compiled oracle, tests/test_reference_oracle.py::test_jbf_cpp_variant);
+    # multi-reflects like cv::borderInterpolate when r exceeds the image
+    return reflect101_pad(x, r, 0, 1)
 
 
 def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.pad import replicate_pad, round_up, cdiv
+from ...core.pad import replicate_pad, reflect101_pad, round_up, cdiv
 from .._dispatch import pallas_interpret
 
 
@@ -85,7 +85,7 @@ def to_planar_padded(img_hwc: jax.Array, plan: TilePlan,
     r = plan.radius
     img = img_hwc.astype(dtype)
     if border == "reflect101" and r > 0:
-        img = jnp.pad(img, [(r, r), (r, r), (0, 0)], mode="reflect")
+        img = reflect101_pad(img, r, 0, 1)  # multi-reflects when r > dim-1
         padded = replicate_pad(
             img,
             0, plan.padded_rows - img.shape[0],
@@ -109,33 +109,13 @@ def pad_planar(img_chw: jax.Array, plan: TilePlan,
     HWC↔CHW pathologically slow on TPU)."""
     r = plan.radius
     img = img_chw.astype(dtype)
-    c = img.shape[0]
-
-    def edge_pad(x, top, bottom, left, right):
-        if top or bottom:
-            parts = []
-            if top:
-                parts.append(jnp.broadcast_to(x[:, :1], (c, top, x.shape[2])))
-            parts.append(x)
-            if bottom:
-                parts.append(jnp.broadcast_to(x[:, -1:], (c, bottom, x.shape[2])))
-            x = jnp.concatenate(parts, axis=1)
-        if left or right:
-            parts = []
-            if left:
-                parts.append(jnp.broadcast_to(x[:, :, :1], (c, x.shape[1], left)))
-            parts.append(x)
-            if right:
-                parts.append(jnp.broadcast_to(x[:, :, -1:], (c, x.shape[1], right)))
-            x = jnp.concatenate(parts, axis=2)
-        return x
 
     if border == "reflect101" and r > 0:
-        img = jnp.pad(img, [(0, 0), (r, r), (r, r)], mode="reflect")
-        return edge_pad(img, 0, plan.padded_rows - img.shape[1],
-                        0, plan.padded_cols - img.shape[2])
-    return edge_pad(img, r, plan.padded_rows - r - plan.height,
-                    r, plan.padded_cols - r - plan.width)
+        img = reflect101_pad(img, r, 1, 2)  # multi-reflects when r > dim-1
+        return replicate_pad(img, 0, plan.padded_rows - img.shape[1],
+                             0, plan.padded_cols - img.shape[2], axis=1)
+    return replicate_pad(img, r, plan.padded_rows - r - plan.height,
+                         r, plan.padded_cols - r - plan.width, axis=1)
 
 
 def from_planar(out_planar: jax.Array, plan: TilePlan) -> jax.Array:

@@ -60,6 +60,7 @@ def _make_kernel(plan, taps, ksize, coeff):
     k2f = np.float32(ksize * ksize)
     two_k2 = np.float32(2 * ksize * ksize)
     inv_k2 = np.float32(1.0) / np.float32(ksize * ksize)
+    lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
     bh = th + 2 * r  # rows covered by the horizontal box strips
 
     def kernel(src_ref, out_ref):
@@ -95,7 +96,10 @@ def _make_kernel(plan, taps, ksize, coeff):
             # exact floor(t/k²): t is an exact integer; +0.5 keeps the
             # reciprocal-multiply rounding away from integer boundaries
             dist = jnp.floor((t + jnp.float32(0.5)) * inv_k2)
-            wk = ws * jnp.exp(dist * dist * coeff)
+            # ws·exp(d²·coeff) folded into one exp2 fma (≤2 ulp vs the
+            # factored form — inside the ±1 u8 contract; see
+            # ops/pallas/bilateral.py _make_kernel)
+            wk = jnp.exp2(dist * dist * lg_coeff + np.float32(np.log2(ws)))
             a0 = a0 + p0 * wk
             a1 = a1 + p1 * wk
             a2 = a2 + p2 * wk

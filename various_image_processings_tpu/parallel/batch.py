@@ -18,10 +18,26 @@ from jax import shard_map
 from .mesh import BATCH_AXIS
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_generic_runner(fn, mesh: Mesh, ndim: int):
+    import jax.numpy as jnp
+
+    spec = P(BATCH_AXIS, *([None] * (ndim - 1)))
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=P(BATCH_AXIS), check_vma=False)
+    def run(local):
+        return jnp.stack([fn(local[i]) for i in range(local.shape[0])])
+
+    return run
+
+
 def batched_apply(fn, images, mesh: Mesh):
     """Apply a single-image op to a sharded batch.
 
-    fn: (H, W, ...) → out (static shapes); images: (B, H, W, ...) with B
+    fn: (H, W, ...) → out (static shapes, any rank — only the batch axis is
+    sharding-constrained on the output); images: (B, H, W, ...) with B
     divisible by the mesh's batch-axis size.  Images stay sharded on device;
     the per-chip batch runs as an unrolled loop (the ops saturate a chip on
     their own, and lax.map's scan machinery adds ~20× overhead around the
@@ -34,24 +50,14 @@ def batched_apply(fn, images, mesh: Mesh):
     EAGER shard_map artifact: un-jitted shard_map runs its body op-by-op,
     each eager dispatch costing ~5 ms through the axon tunnel.
 
-    NB: the jit closure is created per call — prefer the cached `*_batched`
-    wrappers for hot loops."""
-    import jax.numpy as jnp
-
+    One jitted runner is cached per (fn, mesh, rank) — pass a stable
+    function object (a def/partial, not a fresh lambda per call) to reuse
+    the compiled program across calls."""
     b = images.shape[0]
     nbatch = mesh.shape[BATCH_AXIS]
     if b % nbatch != 0:
         raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
-
-    spec = P(BATCH_AXIS, *([None] * (images.ndim - 1)))
-
-    @jax.jit
-    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
-                       out_specs=spec, check_vma=False)
-    def run(local):
-        return jnp.stack([fn(local[i]) for i in range(local.shape[0])])
-
-    return run(images)
+    return _cached_generic_runner(fn, mesh, images.ndim)(images)
 
 
 def _single_image_fn(op: str, params: tuple, impl: str):
@@ -194,29 +200,40 @@ def superpixel_slic_batched(images, superpixel_size: int = 30,
     import numpy as np
 
     from ..core.colors import bgr2lab_u8_exact
-    from ..models.slic import slic_device, enforce_connectivity
+    from ..models.slic import enforce_connectivity
 
     images = np.asarray(images)
     b, h, w = images.shape[:3]
     lab = bgr2lab_u8_exact(images)                       # (B, H, W, 3)
-    device_fn = jax.vmap(lambda x: slic_device(
-        x, h, w, int(superpixel_size), int(num_iteration),
-        float(color_scale), metric)[0])
-
-    if mesh is not None and mesh.shape[BATCH_AXIS] > 1:
-        nbatch = mesh.shape[BATCH_AXIS]
-        if b % nbatch != 0:
-            raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
-        spec = P(BATCH_AXIS, None, None, None)
-        labels_dev = jax.jit(shard_map(
-            device_fn, mesh=mesh, in_specs=(spec,),
-            out_specs=P(BATCH_AXIS), check_vma=False))(jnp.asarray(lab))
-    else:
-        labels_dev = device_fn(jnp.asarray(lab))
-    labels_np = np.asarray(labels_dev)
+    mesh_key = mesh if (mesh is not None and mesh.shape[BATCH_AXIS] > 1) else None
+    if mesh_key is not None and b % mesh_key.shape[BATCH_AXIS] != 0:
+        raise ValueError(
+            f"batch {b} not divisible by mesh batch axis "
+            f"{mesh_key.shape[BATCH_AXIS]}")
+    runner = _cached_slic_runner(h, w, int(superpixel_size),
+                                 int(num_iteration), float(color_scale),
+                                 metric, mesh_key)
+    labels_np = np.asarray(runner(jnp.asarray(lab)))
     return np.stack([enforce_connectivity(labels_np[i], lab[i],
                                           int(superpixel_size), metric)
                      for i in range(b)])
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_slic_runner(h: int, w: int, sp_size: int, nitr: int,
+                        color_scale: float, metric: str, mesh: Mesh | None):
+    """One jitted (optionally shard_mapped) vmapped k-means program per
+    config/mesh — rebuilding the vmap+jit closure per call retraces every
+    invocation."""
+    from ..models.slic import slic_device
+
+    device_fn = jax.vmap(lambda x: slic_device(
+        x, h, w, sp_size, nitr, color_scale, metric)[0])
+    if mesh is None:
+        return jax.jit(device_fn)
+    spec = P(BATCH_AXIS, None, None, None)
+    return jax.jit(shard_map(device_fn, mesh=mesh, in_specs=(spec,),
+                             out_specs=P(BATCH_AXIS), check_vma=False))
 
 
 def inpainting_wexler_batched(images, masks, **kwargs):
@@ -250,12 +267,8 @@ def bilateral_filter_batch_spatial(images, ksize: int = 9,
     over the spatial axis, with ppermute halo exchange along spatial rings.
     Bit-identical to the single-device op (the 2-axis mesh story the
     reference has no counterpart for)."""
-    import jax.numpy as jnp
-
-    from ..ops.bilateral import _bf_jit
     from ..ops._dispatch import resolve_impl
     from .mesh import SPATIAL_AXIS
-    from .spatial import halo_exchange_rows
 
     if mesh is None:
         from .mesh import make_mesh
@@ -271,6 +284,25 @@ def bilateral_filter_batch_spatial(images, ksize: int = 9,
     radius = int(ksize) // 2
     if h // d < radius:
         raise ValueError(f"shard height {h // d} smaller than halo {radius}")
+    runner = _cached_batch_spatial_runner(
+        int(ksize), float(sigma_space), float(sigma_color), impl, mesh)
+    return runner(images)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_batch_spatial_runner(ksize: int, sigma_space: float,
+                                 sigma_color: float, impl: str, mesh: Mesh):
+    """One jitted 2-axis shard_map program per (params, impl, mesh) — the
+    per-call closure form retraced every invocation (jit specializes per
+    input shape, so one runner serves all batch/image sizes)."""
+    import jax.numpy as jnp
+
+    from ..ops.bilateral import _bf_jit
+    from .mesh import SPATIAL_AXIS
+    from .spatial import halo_exchange_rows
+
+    radius = ksize // 2
+    d = mesh.shape[SPATIAL_AXIS]
     spec = P(BATCH_AXIS, SPATIAL_AXIS, None, None)
 
     @jax.jit
@@ -279,12 +311,11 @@ def bilateral_filter_batch_spatial(images, ksize: int = 9,
     def run(local):  # (b_local, h_local, W, 3)
         def one(img_rows):
             padded = halo_exchange_rows(img_rows, radius, SPATIAL_AXIS, d)
-            out = _bf_jit(padded, int(ksize), float(sigma_space),
-                          float(sigma_color), impl)
+            out = _bf_jit(padded, ksize, sigma_space, sigma_color, impl)
             return out[radius : radius + img_rows.shape[0]]
 
         # uniform local batch size on every device → the ppermutes inside
         # the loop stay collective-uniform across the mesh
         return jnp.stack([one(local[i]) for i in range(local.shape[0])])
 
-    return run(images)
+    return run
