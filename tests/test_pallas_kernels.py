@@ -140,3 +140,36 @@ def test_planar_joint_bilateral_matches_hwc(border, rounding):
         8.0, float(np.sqrt(np.float32(3.0))),
         border=border, rounding=rounding)
     assert max_diff(planar.transpose(1, 2, 0), hwc) == 0
+
+
+# Deterministic odd-shape sweep: shapes drawn to stress the tiling machinery
+# (heights below one (8,·) sublane tile, widths one past the 128-lane
+# boundary, extreme aspect ratios).  Shapes cover the kernel families whose
+# padding/blocking logic differs (full-unroll pair path at k=9,
+# per-pixel-offset ABF, chunked split path at k=17); counts are trimmed to
+# keep the interpret-mode suite cost ~1 min.
+_SWEEP_SHAPES = [(7, 131), (9, 257), (83, 19)]
+
+
+@pytest.mark.parametrize("shape", _SWEEP_SHAPES)
+def test_odd_shape_sweep_bilateral(shape):
+    src = random_image(*shape)
+    expected = golden.bilateral_filter(src, 9, 10.0, 30.0)
+    actual = bilateral_filter(src, 9, 10.0, 30.0, impl="pallas")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_odd_shape_sweep_adaptive():
+    src = random_image(7, 131)
+    expected = golden.adaptive_bilateral_filter(src, 9, 10.0, 30.0)
+    actual = adaptive_bilateral_filter(src, 9, 10.0, 30.0, impl="pallas")
+    assert max_diff(actual, expected) <= 1
+
+
+def test_odd_shape_sweep_chunked_joint():
+    src = random_image(7, 131)
+    guide = random_image(7, 131)[::-1].copy()
+    expected = golden.joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508)
+    actual = joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508,
+                                    impl="pallas")
+    assert max_diff(actual, expected) <= 1

@@ -50,9 +50,12 @@ def gradient_pallas(src: jax.Array, planar: bool = False) -> jax.Array:
     else:
         h, w, channels = src.shape
     in_dtype = src.dtype
-    # (128, 2048) measured 4.75 ms vs 7.10 at (128, 1024) on 4K v5e (the
+    # (128, 2048) measured ~1.5× faster than (128, 1024) on 4K v5e (the
     # 3×3 halo DMA amortizes over wider blocks); (256, 2048) OOMs the
-    # 16 MB scoped vmem (~4 f32 temps per channel per tile element)
+    # 16 MB scoped vmem (~4 f32 temps per channel per tile element).
+    # Absolute cost: the full jitted 4K step (incl. HWC glue) is ~0.44 ms
+    # ≈ 19 GP/s (benchmarks/diag_gradient.py) — ~58 MB of true traffic at
+    # ~1/3 of the measured achievable copy bandwidth.
     plan = plan_tiles(h, w, radius=1, th=128, tw=2048)
     prep = pad_planar if planar else to_planar_padded
     src_p = prep(src, plan, dtype=in_dtype)
