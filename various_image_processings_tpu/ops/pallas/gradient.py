@@ -20,20 +20,27 @@ from ._stencil import (plan_tiles, to_planar_padded, pad_planar, halo_in_spec,
 def _make_kernel(plan, channels, in_dtype):
     th, tw = plan.th, plan.tw
 
-    def to_f32(x):
-        if in_dtype == jnp.float32:
-            return x
-        return x.astype(jnp.int32).astype(jnp.float32)  # u8 via i32 (Mosaic)
-
     def kernel(x_ref, o_ref):
+        # The kernel is VPU-cast-bound, not memory-bound: the static audit is
+        # ~12 vector ops per pixel-channel + sqrt.  For u8 inputs, subtract
+        # in int32 and cast the DIFFERENCE once (i32 sub → f32 is exact for
+        # u8-range ints) — one f32 cast per diff instead of two per tap.
         total = jnp.zeros((th, tw), jnp.float32)
         for c in range(channels):
-            up = to_f32(x_ref[c, 0:th, 1 : 1 + tw])
-            down = to_f32(x_ref[c, 2 : 2 + th, 1 : 1 + tw])
-            left = to_f32(x_ref[c, 1 : 1 + th, 0:tw])
-            right = to_f32(x_ref[c, 1 : 1 + th, 2 : 2 + tw])
-            hd = right - left
-            vd = down - up
+            if in_dtype == jnp.float32:
+                up = x_ref[c, 0:th, 1 : 1 + tw]
+                down = x_ref[c, 2 : 2 + th, 1 : 1 + tw]
+                left = x_ref[c, 1 : 1 + th, 0:tw]
+                right = x_ref[c, 1 : 1 + th, 2 : 2 + tw]
+                hd = right - left
+                vd = down - up
+            else:
+                up = x_ref[c, 0:th, 1 : 1 + tw].astype(jnp.int32)
+                down = x_ref[c, 2 : 2 + th, 1 : 1 + tw].astype(jnp.int32)
+                left = x_ref[c, 1 : 1 + th, 0:tw].astype(jnp.int32)
+                right = x_ref[c, 1 : 1 + th, 2 : 2 + tw].astype(jnp.int32)
+                hd = (right - left).astype(jnp.float32)
+                vd = (down - up).astype(jnp.float32)
             total = total + (hd * hd + vd * vd)
         o_ref[0] = jnp.sqrt(total)
 
@@ -53,9 +60,11 @@ def gradient_pallas(src: jax.Array, planar: bool = False) -> jax.Array:
     # (128, 2048) measured ~1.5× faster than (128, 1024) on 4K v5e (the
     # 3×3 halo DMA amortizes over wider blocks); (256, 2048) OOMs the
     # 16 MB scoped vmem (~4 f32 temps per channel per tile element).
-    # Absolute cost: the full jitted 4K step (incl. HWC glue) is ~0.44 ms
-    # ≈ 19 GP/s (benchmarks/diag_gradient.py) — ~58 MB of true traffic at
-    # ~1/3 of the measured achievable copy bandwidth.
+    # Absolute cost: the full jitted 4K step (incl. HWC glue) is ~0.15 ms
+    # ≈ 55 GP/s (benchmarks/diag_gradient.py) — ~58 MB of true traffic at
+    # ~385 GB/s, near the measured achievable copy bandwidth.  (The earlier
+    # 0.44 ms version cast every tap u8→i32→f32; subtracting in i32 and
+    # casting only the differences was a 2.9× win.)
     plan = plan_tiles(h, w, radius=1, th=128, tw=2048)
     prep = pad_planar if planar else to_planar_padded
     src_p = prep(src, plan, dtype=in_dtype)
