@@ -173,3 +173,19 @@ def test_odd_shape_sweep_chunked_joint():
     actual = joint_bilateral_filter(src, guide, 17, 8.0, 1.7320508,
                                     impl="pallas")
     assert max_diff(actual, expected) <= 1
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (2, 3), (5, 5)])
+def test_sub_radius_images_match_golden(shape):
+    """Images smaller than the kernel radius exercise the full replicate
+    border machinery on every side simultaneously (reference clamps per-tap,
+    include/cpp/bilateral_filter.hpp:89-90); all paths must stay exact."""
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        bilateral_texture_filter)
+    src = random_image(*shape)
+    assert max_diff(bilateral_filter(src, 9, 10.0, 30.0, impl="pallas"),
+                    golden.bilateral_filter(src, 9, 10.0, 30.0)) == 0
+    assert max_diff(adaptive_bilateral_filter(src, 9, 10.0, 30.0, impl="xla"),
+                    golden.adaptive_bilateral_filter(src, 9, 10.0, 30.0)) == 0
+    assert max_diff(bilateral_texture_filter(src, ksize=5, nitr=1, impl="xla"),
+                    golden.bilateral_texture_filter(src, ksize=5, nitr=1)) == 0
