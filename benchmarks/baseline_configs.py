@@ -83,8 +83,14 @@ def main():
     dt_g = timed_chain(grad_step, dl, iters=256, repeats=8)
     dt_a = timed_chain(lambda x: vip.adaptive_bilateral_filter(x, 9, 10.0, 30.0),
                        dl, iters=256, repeats=8)
+    # gradient at 4K — the 512² row is fixed-overhead-dominated, this is the
+    # real rate; image tiled from lenna on device (never crosses the host link)
+    d4k = jax.jit(lambda x: jnp.tile(x, (5, 8, 1))[:2160, :3840])(dl)
+    dt_g4 = timed_chain(grad_step, d4k, iters=64, repeats=6)
     report["config2_gradient_abf_lenna"] = {
         "gradient_msec": round(dt_g * 1e3, 3),
+        "gradient_4k_msec": round(dt_g4 * 1e3, 3),
+        "gradient_4k_gps": round(2160 * 3840 / dt_g4 / 1e9, 1),
         "abf_msec": round(dt_a * 1e3, 3),
         "abf_mps": round(px / dt_a / 1e6, 1),
     }
