@@ -65,3 +65,24 @@ def gauss_coeff_f32(sigma: float) -> np.float32:
     """
     denom = np.float32(np.float32(2.0 * np.float32(sigma)) * np.float32(sigma))
     return np.float32(-1.0 / float(denom))
+
+
+def color_table_zero_index(sigma_color: float,
+                           size: int = COLOR_TABLE_SIZE_BILATERAL) -> int:
+    """First index whose f32 table entry is exactly 0.0 (``size`` if none).
+
+    The reference builds its range table in f64 and stores f32
+    (include/cpp/adaptive_bilateral_filter.hpp:34-38), so entries fade
+    through the f32 SUBNORMAL range (~2⁻¹²⁶..2⁻¹⁴⁹) before reaching exact
+    zero — whereas an in-register f32 ``exp`` flushes that whole band to 0.
+    Device kernels that recompute the Gaussian must therefore (a) scale the
+    weights by an exact power of two so the subnormal band lands in normal
+    range (the sums/sumk ratio is bit-invariant under a 2^S scale), and
+    (b) apply this index as a hard cutoff so distances the table maps to
+    exact 0 stay exactly 0.  Matters for the ADAPTIVE filter, whose
+    center-tap distance is the (unbounded) box-mean offset; the plain
+    bilateral center tap has distance 0 and always dominates.
+    """
+    tab = color_table(sigma_color, size)
+    nz = np.nonzero(tab == np.float32(0.0))[0]
+    return int(nz[0]) if nz.size else size

@@ -19,8 +19,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..core.luts import gauss_coeff_f32
+from ..core.luts import (gauss_coeff_f32, color_table_zero_index,
+                         COLOR_TABLE_SIZE_ADAPTIVE)
 from ..core.pad import replicate_pad
 from . import _validate
 from ._dispatch import resolve_impl
@@ -54,6 +56,18 @@ def _abf_math(src_u8: jax.Array, ksize: int, sigma_space: float,
     src_p_f = replicate_pad(src_f, radius, radius, radius, radius)
     src_p_i = replicate_pad(src_i, radius, radius, radius, radius)
 
+    # The reference's 1536-entry LUT (f64-built, f32-stored) fades through
+    # the f32 subnormal range before hitting exact 0, while in-register f32
+    # exp flushes that band to 0.  ABF's center-tap distance is the box-mean
+    # offset (unbounded), so with small σ_color ALL taps of a pixel can land
+    # in the band and a flushed recompute divides 0/0 where the reference
+    # returns a meaningful value.  Scaling every weight by 2⁶⁴ (exact; the
+    # sums/sumk ratio is invariant under a power-of-two scale) keeps the
+    # band in normal f32 range; distances at/past the table's exact-zero
+    # index stay hard 0 (core/luts.py color_table_zero_index).
+    cut = jnp.float32(color_table_zero_index(sigma_color,
+                                             COLOR_TABLE_SIZE_ADAPTIVE))
+    lg_coeff = jnp.float32(float(coeff) * np.log2(np.e))
     sums = jnp.zeros((h, w, 3), jnp.float32)
     sumk = jnp.zeros((h, w), jnp.float32)
     for dy, dx, ws in nonzero_taps(ksize, sigma_space):
@@ -61,7 +75,10 @@ def _abf_math(src_u8: jax.Array, ksize: int, sigma_space: float,
         sp_i = src_p_i[dy : dy + h, dx : dx + w]
         t = jnp.abs((sp_i - src_i) * k2 - center_scaled).sum(axis=2)
         d = (t // k2).astype(jnp.float32)  # exact truncation (:45)
-        wk = ws * jnp.exp(d * d * coeff)
+        wk = jnp.where(d < cut,
+                       jnp.exp2(d * d * lg_coeff
+                                + jnp.float32(np.log2(ws) + 64.0)),
+                       jnp.float32(0.0))
         sums = sums + sp_f * wk[:, :, None]
         sumk = sumk + wk
     out = sums / sumk[:, :, None] + jnp.float32(0.5)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ...core.luts import gauss_coeff_f32
+from ...core.luts import (gauss_coeff_f32, color_table_zero_index,
+                          COLOR_TABLE_SIZE_ADAPTIVE)
 from ..bilateral import nonzero_taps
 from ._stencil import (plan_tiles, to_planar_padded, from_planar,
                        halo_in_spec, tile_out_spec, stencil_call)
@@ -52,7 +53,7 @@ def _pick_tile(n_taps: int, width: int):
     return None
 
 
-def _make_kernel(plan, taps, ksize, coeff):
+def _make_kernel(plan, taps, ksize, coeff, zero_cut):
     import numpy as np
     th, tw, r = plan.th, plan.tw, plan.radius
     # NB: np scalars, not jnp — jnp scalars become captured device constants,
@@ -61,6 +62,7 @@ def _make_kernel(plan, taps, ksize, coeff):
     two_k2 = np.float32(2 * ksize * ksize)
     inv_k2 = np.float32(1.0) / np.float32(ksize * ksize)
     lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
+    cut = np.float32(zero_cut)
     bh = th + 2 * r  # rows covered by the horizontal box strips
 
     def kernel(src_ref, out_ref):
@@ -96,10 +98,19 @@ def _make_kernel(plan, taps, ksize, coeff):
             # exact floor(t/k²): t is an exact integer; +0.5 keeps the
             # reciprocal-multiply rounding away from integer boundaries
             dist = jnp.floor((t + jnp.float32(0.5)) * inv_k2)
-            # ws·exp(d²·coeff) folded into one exp2 fma (≤2 ulp vs the
+            # ws·exp(d²·coeff)·2⁶⁴ folded into one exp2 fma (≤2 ulp vs the
             # factored form — inside the ±1 u8 contract; see
-            # ops/pallas/bilateral.py _make_kernel)
-            wk = jnp.exp2(dist * dist * lg_coeff + np.float32(np.log2(ws)))
+            # ops/pallas/bilateral.py _make_kernel).  The 2⁶⁴ bias keeps the
+            # reference LUT's f32-subnormal weight band in normal range (the
+            # a/ak ratio is bit-invariant under a power-of-two scale) and
+            # the cut select pins the LUT's exact-zero region to hard 0 —
+            # see ops/adaptive_bilateral.py and core/luts.py
+            # color_table_zero_index for the full story.
+            wk = jnp.where(
+                dist < cut,
+                jnp.exp2(dist * dist * lg_coeff
+                         + np.float32(np.log2(ws) + 64.0)),
+                np.float32(0.0))
             a0 = a0 + p0 * wk
             a1 = a1 + p1 * wk
             a2 = a2 + p2 * wk
@@ -126,6 +137,7 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
 
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
+    zero_cut = color_table_zero_index(sigma_color, COLOR_TABLE_SIZE_ADAPTIVE)
 
     src_p = to_planar_padded(src_u8, plan)
     cost = pl.CostEstimate(
@@ -134,7 +146,7 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
         transcendentals=len(taps) * plan.out_rows * plan.out_cols,
     )
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
-    out = stencil_call(_make_kernel(plan, taps, ksize, coeff), plan,
+    out = stencil_call(_make_kernel(plan, taps, ksize, coeff, zero_cut), plan,
                        [halo_in_spec(plan)],
                        tile_out_spec(plan), out_shape, cost)(src_p)
     return from_planar(out, plan)
