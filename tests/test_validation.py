@@ -41,3 +41,26 @@ def test_ksize_1_is_identity():
     src = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     out = np.asarray(vip.bilateral_filter(src, ksize=1, impl="xla"))
     np.testing.assert_array_equal(out, src)
+
+
+def test_degenerate_model_inputs_run_clean():
+    """SLIC with S at/above the image size and Wexler with empty / 1-px masks
+    must produce well-formed output, not crash (the reference exits or loops
+    on some of these; we define graceful behavior)."""
+    import numpy as np
+    import various_image_processings_tpu as vip
+    from various_image_processings_tpu.core.rng import random_image
+
+    img = random_image(64, 48)
+    res = vip.superpixel_slic(img, 200, 3, 20.0)
+    labels = np.asarray(res[0] if isinstance(res, tuple) else res)
+    assert labels.shape == (64, 48)
+
+    out = np.asarray(vip.inpainting_wexler(img, np.zeros((64, 48), np.uint8)))
+    np.testing.assert_array_equal(out, img)  # nothing to fill
+
+    mask1 = (np.arange(64 * 48).reshape(64, 48) == 100).astype(np.uint8) * 255
+    out1 = np.asarray(vip.inpainting_wexler(img, mask1))
+    assert out1.shape == img.shape
+    unmasked = mask1 == 0
+    np.testing.assert_array_equal(out1[unmasked], img[unmasked])
