@@ -367,3 +367,34 @@ def test_slic_segment_statistics_vs_reference(oracle):
     our_mean, our_med = stats(ours)
     assert 0.5 <= our_mean / ref_mean <= 2.0
     assert 0.4 <= our_med / max(ref_med, 1) <= 2.5
+
+
+def test_golden_bilateral_param_fuzz_vs_reference(oracle):
+    """Golden vs the compiled reference across extreme (ksize, σs, σc):
+    tiny sigmas drive both LUTs deep into their f32 underflow tails —
+    bit-exact because golden reuses the reference's exact f64-built
+    f32-stored tables (core/luts.py; cf. PARITY.md D2b for why the
+    recomputing device paths need special handling only for ABF)."""
+    for k, ss, sc in [(3, 0.7, 3.0), (15, 2.0, 7.5), (11, 40.0, 120.0),
+                      (7, 0.5, 1.0)]:
+        src = random_image(40, 40)
+        ref = oracle("bilateral", src, 40, 40, 40 * 40 * 3,
+                     k, ss, sc).reshape(40, 40, 3)
+        ours = golden.bilateral_filter(src, k, ss, sc)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() == 0, (k, ss, sc)
+
+
+def test_golden_abf_param_fuzz_vs_reference(oracle):
+    """Golden ABF vs the compiled reference on the adversarial small-σc
+    noise regime (the subnormal weight band of PARITY.md D2b, where the
+    device paths are only ±few-u8): the golden twin must stay bit-exact,
+    including reproducing the reference's 0/0 pixels."""
+    import warnings
+    for k, ss, sc, h, w in [(3, 9.3, 16.3, 26, 41), (15, 22.8, 11.5, 45, 13),
+                            (11, 8.0, 21.8, 35, 56)]:
+        src = random_image(h, w)
+        ref = oracle("abf", src, h, w, h * w * 3, k, ss, sc).reshape(h, w, 3)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # 0/0 where the reference does it
+            ours = golden.adaptive_bilateral_filter(src, k, ss, sc)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() == 0, (k, ss, sc)
