@@ -1,10 +1,26 @@
 """Gaussian pyramid ops (pyrDown / pyrUp).
 
 TPU-native equivalents of the cv::pyrDown / cv::pyrUp calls the reference's
-inpainting pyramid uses (include/cpp/wexler_inpainting.hpp:68-91, :52-57):
-5-tap binomial kernel [1 4 6 4 1]/16 separably in both axes,
-BORDER_REFLECT_101, decimate/inject by 2; u8 outputs round half-up like
-OpenCV's fixed-point path.
+inpainting pyramid uses (include/cpp/wexler_inpainting.hpp:68-91, :52-57).
+
+The u8 path is a BIT-EXACT twin of OpenCV's fixed-point u8 pyramid
+(established by fuzzing against cv2 across shapes, channel counts, and odd
+dst sizes — tests/test_pyramid.py asserts equality):
+
+- ``pyrDown``: integer 5-tap binomial conv [1 4 6 4 1] in both axes at the
+  even sample grid, BORDER_REFLECT_101 on the SOURCE indices, final
+  descale ``(acc + 128) >> 8``.  All intermediates ≤ 255·256 — exact in
+  int32.
+- ``pyrUp``: zero-stuffed conv by the same kernel, but the reflection runs
+  in the UPSAMPLED (2H, 2W) index domain and the result is cropped to the
+  requested dst size; final descale ``(acc + 32) >> 6``.  In source-row
+  terms that reflection is: row −1 → row 1, row H → row **H−1** (NOT the
+  source-domain reflect-101's H−2) — the border quirk that kept the old
+  float path at ≤1 u8 instead of exact.
+
+Both are implemented as strided slices + concats (no gathers), so they
+compile to cheap TPU programs; float inputs take a separable f32 path with
+the same taps.
 """
 
 from __future__ import annotations
@@ -15,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 _K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+_K5I = (1, 4, 6, 4, 1)
 
 
 def _sep_blur(img_f: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -47,33 +64,79 @@ def _pyr_up_f(img_f: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return up
 
 
+@jax.jit
+def _pyr_down_u8(img: jax.Array) -> jax.Array:
+    """(H, W, C) u8 → ((H+1)//2, (W+1)//2, C) u8, bit-exact cv::pyrDown."""
+    h, w, _ = img.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    s = img.astype(jnp.int32)
+    # BORDER_REFLECT_101 pad by 2 each side, built from slices (exact for
+    # h,w ≥ 3 — caller guarantees; OpenCV requires ≥ 2 and reflect-101 of
+    # a 2-row image degenerates the same way jnp's 'reflect' does)
+    s = jnp.concatenate([s[2:0:-1], s, s[h - 2 : h - 4 if h >= 4 else None : -1]], 0)
+    s = jnp.concatenate([s[:, 2:0:-1], s, s[:, w - 2 : w - 4 if w >= 4 else None : -1]], 1)
+    vert = sum(kv * s[i : i + 2 * oh - 1 : 2] for i, kv in enumerate(_K5I))
+    acc = sum(kv * vert[:, j : j + 2 * ow - 1 : 2] for j, kv in enumerate(_K5I))
+    return ((acc + 128) >> 8).astype(jnp.uint8)
+
+
+def _up_axis0(s: jax.Array, n: int, out_n: int) -> jax.Array:
+    """One pyrUp axis in exact int32: (n, ...) → (out_n ≤ 2n, ...).
+
+    even rows 2t  = s[t−1] + 6·s[t] + s[t+1]   (t−1 → |t−1|, t = n → n−1)
+    odd rows 2t+1 = 4·(s[t] + s[t+1])
+    (the 2n-domain reflection — see module docstring)."""
+    top = s[min(1, n - 1) : min(1, n - 1) + 1]
+    bot = s[n - 1 : n]
+    ext = jnp.concatenate([top, s, bot], 0)  # ext[u+1] = s[reflected u]
+    even = ext[0:n] + 6 * ext[1 : n + 1] + ext[2 : n + 2]
+    odd = 4 * (ext[1 : n + 1] + ext[2 : n + 2])
+    inter = jnp.stack([even, odd], axis=1).reshape((2 * n,) + s.shape[1:])
+    return inter[:out_n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _pyr_up_u8(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(H, W, C) u8 → (out_h, out_w, C) u8, bit-exact cv::pyrUp(dstsize)."""
+    h, w, _ = img.shape
+    s = img.astype(jnp.int32)
+    v = _up_axis0(s, h, out_h)
+    acc = _up_axis0(jnp.swapaxes(v, 0, 1), w, out_w)
+    acc = jnp.swapaxes(acc, 0, 1)
+    return ((acc + 32) >> 6).astype(jnp.uint8)
+
+
 def pyr_down(img) -> jax.Array:
     """(H, W[, C]) u8|f32 → (ceil(H/2), ceil(W/2)[, C]) same dtype.
 
-    Matches cv::pyrDown's default output size ((H+1)/2, (W+1)/2)."""
+    Matches cv::pyrDown's default output size ((H+1)/2, (W+1)/2); u8 is
+    bit-exact vs OpenCV's fixed-point path."""
     img = jnp.asarray(img)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]
-    out = _pyr_down_f(img.astype(jnp.float32))
-    if img.dtype == jnp.uint8:
-        out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+    if img.dtype == jnp.uint8 and min(img.shape[:2]) >= 3:
+        out = _pyr_down_u8(img)
     else:
-        out = out.astype(img.dtype)
+        out = _pyr_down_f(img.astype(jnp.float32))
+        if img.dtype == jnp.uint8:
+            out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+        else:
+            out = out.astype(img.dtype)
     return out[:, :, 0] if squeeze else out
 
 
 def pyr_up(img, out_shape=None) -> jax.Array:
-    """(H, W[, C]) → (2H, 2W[, C]) (or `out_shape`), cv::pyrUp semantics."""
+    """(H, W[, C]) → (2H, 2W[, C]) (or `out_shape`), cv::pyrUp semantics;
+    u8 is bit-exact vs OpenCV's fixed-point path incl. odd dst sizes."""
     img = jnp.asarray(img)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]
     h, w, _ = img.shape
     out_h, out_w = out_shape if out_shape is not None else (2 * h, 2 * w)
-    out = _pyr_up_f(img.astype(jnp.float32), out_h, out_w)
     if img.dtype == jnp.uint8:
-        out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+        out = _pyr_up_u8(img, out_h, out_w)
     else:
-        out = out.astype(img.dtype)
+        out = _pyr_up_f(img.astype(jnp.float32), out_h, out_w).astype(img.dtype)
     return out[:, :, 0] if squeeze else out
