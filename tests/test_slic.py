@@ -113,3 +113,64 @@ def test_slic_shape_validation():
         slic.apply(np.zeros((16, 32, 3), np.uint8))
     with pytest.raises(ValueError, match=">= 2"):
         SuperpixelSLIC(32, 32, 1)
+
+
+def test_drift_guard_within_bound_on_natural_image(lenna):
+    """The 5x5 gather's bounded-drift assumption, now measured on device:
+    max center drift (Chebyshev cells from home) must stay <= 2 on a
+    natural image (models/slic.py slic_device docstring)."""
+    model = SuperpixelSLIC(*lenna.shape[:2], superpixel_size=26,
+                           num_iteration=10)
+    model.apply(lenna)
+    assert model.last_max_drift_cells is not None
+    assert model.last_max_drift_cells <= 2.0, model.last_max_drift_cells
+
+
+def test_drift_guard_adversarial_gradient_images():
+    """Adversarial drift attempts: strong large-scale smooth gradients and
+    an off-grid high-contrast step, built to pull centers as far as the
+    snap allows.  The snap-to-member-pixel step bounds drift structurally
+    (a center can only move to a pixel it owns, and it owns pixels within
+    +/-S of its position), so even these stay <= 2 cells -- and if a future
+    change breaks that, the wrapper must WARN rather than silently clip."""
+    import warnings
+
+    h = w = 130  # 5x5 cells of S=26
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cases = []
+    # diagonal luminance ramp (pulls every mean toward the bright corner)
+    ramp = np.clip((yy + xx) * (255.0 / (h + w)), 0, 255).astype(np.uint8)
+    cases.append(np.stack([ramp] * 3, axis=-1))
+    # steep off-grid step: flat dark field with one bright band whose edge
+    # sits mid-cell (centers in the dark cells get dragged toward the band)
+    step = np.full((h, w, 3), 10, np.uint8)
+    step[:, 39:52] = 250
+    cases.append(step)
+    # radial gradient centered off-grid
+    rad = np.sqrt((yy - 17.0) ** 2 + (xx - 111.0) ** 2)
+    rad = np.clip(rad * (255.0 / rad.max()), 0, 255).astype(np.uint8)
+    cases.append(np.stack([rad, rad[::-1], rad[:, ::-1]], axis=-1))
+    for img in cases:
+        model = SuperpixelSLIC(h, w, superpixel_size=26, num_iteration=10)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            model.apply(img)  # would raise if the drift warning fired
+        assert model.last_max_drift_cells <= 2.0, model.last_max_drift_cells
+
+
+def test_drift_warning_fires_when_bound_exceeded(monkeypatch, lenna):
+    """The guard is LOUD: force a >2 reading and check the warning path."""
+    import various_image_processings_tpu.models.slic as slic_mod
+
+    real = slic_mod.slic_device
+
+    def fake(*args, **kwargs):
+        labels, centers, dists, _ = real(*args, **kwargs)
+        return labels, centers, dists, np.float32(3.0)
+
+    monkeypatch.setattr(slic_mod, "slic_device", fake)
+    model = SuperpixelSLIC(*lenna.shape[:2], superpixel_size=26,
+                           num_iteration=2)
+    with pytest.warns(RuntimeWarning, match="drift"):
+        model.apply(lenna)
+    assert model.last_max_drift_cells == 3.0

@@ -129,7 +129,14 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
                 num_iteration: int, color_scale: float,
                 metric: str = "euclidean"):
     """Device part: init + assign/update loop → (labels (H,W) i32,
-    centers (N,5) f32, distances (H,W) f32)."""
+    centers (N,5) f32, distances (H,W) f32, max_drift_cells f32).
+
+    ``max_drift_cells`` is the running maximum over iterations and centers
+    of the Chebyshev distance (in cell units) between a center's current
+    containing cell and its home cell — the quantity the 5×5 gather's
+    bounded-drift assumption is about.  Values ≤ 2 mean every reference
+    ±S window was fully covered; > 2 means some scans were clipped (the
+    wrapper warns loudly — see SuperpixelSLIC.apply)."""
     per_row = cdiv(width, sp_size)
     per_col = cdiv(height, sp_size)
     n = per_row * per_col
@@ -322,22 +329,35 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
         snapped = jnp.concatenate([px[:, None], py[:, None], plab], axis=1)
         return jnp.where(has_pixels[:, None], snapped, centers)
 
+    # home-cell indices of every center (row-major grid, like _init_centers)
+    home_cx = jnp.tile(jnp.arange(per_row), per_col).astype(jnp.float32)
+    home_cy = jnp.repeat(jnp.arange(per_col), per_row).astype(jnp.float32)
+
+    def cell_drift(centers):
+        """Max Chebyshev distance (cells) of current center cells from home."""
+        ccx = jnp.floor(centers[:, 0] / jnp.float32(sp_size))
+        ccy = jnp.floor(centers[:, 1] / jnp.float32(sp_size))
+        return jnp.maximum(jnp.abs(ccx - home_cx),
+                           jnp.abs(ccy - home_cy)).max()
+
     def body(state):
-        it, centers, labels, dists, _ = state
+        it, centers, labels, dists, _, drift = state
         labels, dists, num_updated, sums = association(centers, labels, dists)
         means = center_means(centers, sums)
         centers = snap_centers(centers, means, labels)
-        return (it + 1, centers, labels, dists, num_updated)
+        drift = jnp.maximum(drift, cell_drift(centers))
+        return (it + 1, centers, labels, dists, num_updated, drift)
 
     def cond(state):
-        it, _, _, _, num_updated = state
+        it, _, _, _, num_updated, _ = state
         return (it < num_iteration) & (num_updated > 0)
 
     labels0 = jnp.full((height, width), -1, jnp.int32)
     dists0 = jnp.full((height, width), big, jnp.float32)
-    state = (jnp.int32(0), centers0, labels0, dists0, jnp.int32(1))
-    _, centers, labels, dists, _ = jax.lax.while_loop(cond, body, state)
-    return labels, centers, dists
+    state = (jnp.int32(0), centers0, labels0, dists0, jnp.int32(1),
+             jnp.float32(0.0))
+    _, centers, labels, dists, _, drift = jax.lax.while_loop(cond, body, state)
+    return labels, centers, dists, drift
 
 
 def _components(labels: np.ndarray):
@@ -510,6 +530,7 @@ class SuperpixelSLIC:
         self.color_scale = color_scale
         self.metric = metric
         self._labels = None
+        self.last_max_drift_cells: float | None = None
 
     def apply(self, image_bgr_u8) -> np.ndarray:
         image = np.asarray(image_bgr_u8)  # host-side: only Lab goes to device
@@ -522,9 +543,19 @@ class SuperpixelSLIC:
         # into visibly different basins (boundary recall 0.80 → 0.94
         # measured on lenna)
         lab = bgr2lab_u8_exact(image)
-        labels, _, _ = slic_device(jnp.asarray(lab), self.height, self.width,
-                                   self.superpixel_size, self.num_iteration,
-                                   float(self.color_scale), self.metric)
+        labels, _, _, drift = slic_device(
+            jnp.asarray(lab), self.height, self.width,
+            self.superpixel_size, self.num_iteration,
+            float(self.color_scale), self.metric)
+        self.last_max_drift_cells = float(drift)
+        if self.last_max_drift_cells > 2.0:
+            import warnings
+            warnings.warn(
+                f"SLIC center drift reached {self.last_max_drift_cells:.0f} "
+                "cells (> 2): the 5x5 cell gather no longer covers every "
+                "reference +/-S scan window and some pixels may miss their "
+                "nearest center (models/slic.py bounded-drift assumption)",
+                RuntimeWarning, stacklevel=2)
         labels = enforce_connectivity(np.asarray(labels), lab,
                                       self.superpixel_size, self.metric)
         self._labels = labels

@@ -213,7 +213,16 @@ def superpixel_slic_batched(images, superpixel_size: int = 30,
     runner = _cached_slic_runner(h, w, int(superpixel_size),
                                  int(num_iteration), float(color_scale),
                                  metric, mesh_key)
-    labels_np = np.asarray(runner(jnp.asarray(lab)))
+    labels_dev, drift_dev = runner(jnp.asarray(lab))
+    labels_np = np.asarray(labels_dev)
+    max_drift = float(np.asarray(drift_dev).max())
+    if max_drift > 2.0:
+        import warnings
+        warnings.warn(
+            f"SLIC center drift reached {max_drift:.0f} cells (> 2) in the "
+            "batch: the 5x5 cell gather no longer covers every reference "
+            "+/-S scan window (models/slic.py bounded-drift assumption)",
+            RuntimeWarning, stacklevel=2)
     return np.stack([enforce_connectivity(labels_np[i], lab[i],
                                           int(superpixel_size), metric)
                      for i in range(b)])
@@ -227,13 +236,18 @@ def _cached_slic_runner(h: int, w: int, sp_size: int, nitr: int,
     invocation."""
     from ..models.slic import slic_device
 
-    device_fn = jax.vmap(lambda x: slic_device(
-        x, h, w, sp_size, nitr, color_scale, metric)[0])
+    def one(x):
+        labels, _, _, drift = slic_device(x, h, w, sp_size, nitr,
+                                          color_scale, metric)
+        return labels, drift
+
+    device_fn = jax.vmap(one)
     if mesh is None:
         return jax.jit(device_fn)
     spec = P(BATCH_AXIS, None, None, None)
     return jax.jit(shard_map(device_fn, mesh=mesh, in_specs=(spec,),
-                             out_specs=P(BATCH_AXIS), check_vma=False))
+                             out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                             check_vma=False))
 
 
 def inpainting_wexler_batched(images, masks, **kwargs):
