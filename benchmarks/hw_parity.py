@@ -60,6 +60,18 @@ def main() -> int:
     # BTF end-to-end on hardware: the documented envelope is p99.9 ≤5 and
     # max ≤46 u8 vs golden (tie-flip amplification of TPU transcendental
     # ulps across nitr iterations, PARITY.md BTF row)
+    # SLIC on hardware: the bounded-drift assumption behind the 5x5 cell
+    # gather (models/slic.py) must hold on the real chip too, and the
+    # segment count stays in the bench-scale envelope
+    from various_image_processings_tpu.models.slic import SuperpixelSLIC
+    slic = SuperpixelSLIC(*lenna.shape[:2], superpixel_size=26,
+                          num_iteration=10)
+    labels = slic.apply(lenna)
+    nseg = int(labels.max()) + 1
+    ok &= check("slic_drift_512", slic.last_max_drift_cells <= 2.0,
+                f"max center drift {slic.last_max_drift_cells:.1f} cells "
+                f"(bound 2); {nseg} segments")
+
     out = np.asarray(vip.bilateral_texture_filter(cat, 9, 3))
     g = golden.bilateral_texture_filter(cat, 9, 3)
     d = np.abs(out.astype(int) - g.astype(int))
