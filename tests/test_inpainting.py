@@ -136,6 +136,9 @@ def test_wexler_bbox_bucketing_reuses_executable():
     from various_image_processings_tpu.models import inpainting as M
     from various_image_processings_tpu.ops.inpainting import inpainting_wexler
 
+    if not hasattr(M._fill_pass_device, "_cache_size"):
+        pytest.skip("jax.jit._cache_size private API unavailable in this "
+                    "JAX version")
     size = 64
     img = np.tile(((np.arange(size) // 4) % 2 * 180 + 40)
                   .astype(np.uint8)[None, :, None], (size, 1, 3))

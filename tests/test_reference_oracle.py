@@ -298,6 +298,75 @@ def test_wexler_multilevel_fill_vs_reference(oracle):
     assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 12.0
 
 
+def test_wexler_near_border_hole_vs_reference(oracle):
+    """Hole ONE pixel away from the image border — the closest border case
+    the reference survives (flush holes crash it, see the test below).
+    This exercises the reference's target-dependent candidate rejection
+    near borders (include/cpp/wexler_inpainting.hpp:229-241): candidate
+    windows at the border are clipped differently per target there, while
+    we reject any window touching the hole globally
+    (models/inpainting.py:52-59, PARITY.md D4 — the shared MXU candidate
+    matrix requires a target-independent set).  Exemplar choices may
+    differ; fill QUALITY must stay in the reference's regime."""
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/sample_image/lenna.png")
+    if img is None:
+        pytest.skip("lenna unavailable")
+    img = np.ascontiguousarray(img[100:148, 200:248])
+    mask = np.zeros((48, 48), np.uint8)
+    mask[1:11, 18:30] = 255      # 1 px from the top edge
+    mask[20:30, 1:9] = 255       # second component 1 px from the left edge
+    data = np.concatenate([img.reshape(-1), mask.reshape(-1)])
+    ref = oracle("wexler", data, 48, 48, 48 * 48 * 3).reshape(48, 48, 3)
+    from various_image_processings_tpu.ops.inpainting import inpainting_wexler
+    ours = np.asarray(inpainting_wexler(img, mask))
+
+    hole = mask > 0
+    np.testing.assert_array_equal(ours[~hole], img[~hole])
+    np.testing.assert_array_equal(ref[~hole], img[~hole])
+
+    def hole_psnr(x):
+        mse = ((x.astype(np.float64) - img.astype(np.float64)) ** 2)[hole].mean()
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    psnr_ref = hole_psnr(ref)
+    psnr_ours = hole_psnr(ours)
+    assert psnr_ours >= psnr_ref - 3.0, (psnr_ours, psnr_ref)
+    mse_mutual = ((ours.astype(np.float64) - ref.astype(np.float64)) ** 2)[hole].mean()
+    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 12.0
+
+
+def test_wexler_border_flush_hole_reference_crashes_ours_fills(oracle):
+    """A hole FLUSH against the image border is undefined behavior in the
+    reference: its contour trace / priority window indexing walks out of
+    bounds and the process dies with SIGSEGV or SIGABRT (measured: top,
+    bottom, left flush → -11; right flush → -6).  Pinned here as a
+    reference BUG NOT REPLICATED (PARITY.md D6): our fill must handle the
+    same masks gracefully and keep known pixels untouched."""
+    import subprocess
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/sample_image/lenna.png")
+    if img is None:
+        pytest.skip("lenna unavailable")
+    img = np.ascontiguousarray(img[100:148, 200:248])
+    mask = np.zeros((48, 48), np.uint8)
+    mask[0:10, 18:30] = 255      # flush on the top edge
+
+    data = np.concatenate([img.reshape(-1), mask.reshape(-1)])
+    with pytest.raises(subprocess.CalledProcessError) as ei:
+        oracle("wexler", data, 48, 48, 48 * 48 * 3)
+    assert ei.value.returncode < 0  # killed by a signal, not an exit code
+
+    from various_image_processings_tpu.ops.inpainting import inpainting_wexler
+    ours = np.asarray(inpainting_wexler(img, mask))
+    hole = mask > 0
+    np.testing.assert_array_equal(ours[~hole], img[~hole])
+    # the fill is sane: hole-region PSNR vs the ground truth in the normal
+    # quality regime (measured 23.1 dB; bound leaves slack for platform ulps)
+    mse = ((ours.astype(np.float64) - img.astype(np.float64)) ** 2)[hole].mean()
+    assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-12)) > 15.0
+
+
 def test_wexler_contour_priority_vs_reference(oracle):
     """First-ring contour set and priorities must match the reference's
     chain-code trace + priority queue exactly; pop order ties are

@@ -41,23 +41,25 @@ def reflect101_indices(n: int, lo: int, hi: int) -> np.ndarray:
 
 def reflect101_pad(img, r: int, row_axis: int = 0, col_axis: int = 1):
     """Reflect-101 pad the given two axes of a jax array by r, valid for ANY
-    r (multi-reflection).  Uses jnp.pad when r fits (r <= n-1 on both axes,
-    the common case); falls back to static index gathers otherwise."""
+    r (multi-reflection).  Decided PER AXIS: jnp.pad when r fits that axis
+    (r <= n-1, the common case); a static index gather only on an axis the
+    pad cannot cover — so an extreme aspect ratio pays the gather on one
+    axis, not both."""
     import jax.numpy as jnp
 
     if r == 0:
         return img
-    h = img.shape[row_axis]
-    w = img.shape[col_axis]
-    if r <= h - 1 and r <= w - 1:
-        pads = [(0, 0)] * img.ndim
-        pads[row_axis] = (r, r)
-        pads[col_axis] = (r, r)
-        return jnp.pad(img, pads, mode="reflect")
-    img = jnp.take(img, jnp.asarray(reflect101_indices(h, r, r)),
-                   axis=row_axis)
-    return jnp.take(img, jnp.asarray(reflect101_indices(w, r, r)),
-                    axis=col_axis)
+
+    def pad_one(x, axis):
+        n = x.shape[axis]
+        if r <= n - 1:
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (r, r)
+            return jnp.pad(x, pads, mode="reflect")
+        return jnp.take(x, jnp.asarray(reflect101_indices(n, r, r)),
+                        axis=axis)
+
+    return pad_one(pad_one(img, row_axis), col_axis)
 
 
 def replicate_pad(img, pad_top: int, pad_bottom: int, pad_left: int,

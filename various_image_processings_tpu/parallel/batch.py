@@ -33,6 +33,14 @@ def _cached_generic_runner(fn, mesh: Mesh, ndim: int):
     return run
 
 
+# fresh-callable churn detector: counts cache misses per fn.__code__ so a
+# caller passing a new lambda every call (same code, new identity — every
+# miss recompiles AND pins the closure + its captured arrays in the cache)
+# gets warned instead of silently paying a compile per invocation
+_RUNNER_MISSES_BY_CODE: dict = {}
+_CHURN_WARN_AT = 3
+
+
 def batched_apply(fn, images, mesh: Mesh):
     """Apply a single-image op to a sharded batch.
 
@@ -50,14 +58,32 @@ def batched_apply(fn, images, mesh: Mesh):
     EAGER shard_map artifact: un-jitted shard_map runs its body op-by-op,
     each eager dispatch costing ~5 ms through the axon tunnel.
 
-    One jitted runner is cached per (fn, mesh, rank) — pass a stable
+    One jitted runner is cached per (fn, mesh, rank) — pass a STABLE
     function object (a def/partial, not a fresh lambda per call) to reuse
-    the compiled program across calls."""
+    the compiled program across calls.  Note the cache holds strong
+    references: up to 64 runners stay alive, each keeping its fn closure
+    (and any arrays it captured) pinned.  Passing a fresh closure per call
+    both retraces every invocation and fills the cache with dead entries —
+    a RuntimeWarning fires after the third miss for the same code object."""
     b = images.shape[0]
     nbatch = mesh.shape[BATCH_AXIS]
     if b % nbatch != 0:
         raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
-    return _cached_generic_runner(fn, mesh, images.ndim)(images)
+    misses_before = _cached_generic_runner.cache_info().misses
+    run = _cached_generic_runner(fn, mesh, images.ndim)
+    if _cached_generic_runner.cache_info().misses > misses_before:
+        code = getattr(fn, "__code__", fn)
+        n = _RUNNER_MISSES_BY_CODE[code] = _RUNNER_MISSES_BY_CODE.get(code, 0) + 1
+        if n == _CHURN_WARN_AT:
+            import warnings
+            warnings.warn(
+                "batched_apply compiled a new runner for the same function "
+                f"code {_CHURN_WARN_AT} times — you are likely passing a "
+                "fresh lambda/closure per call, which retraces every "
+                "invocation and pins each closure (plus captured arrays) in "
+                "the runner cache; pass one stable def/functools.partial "
+                "instead", RuntimeWarning, stacklevel=3)
+    return run(images)
 
 
 def _single_image_fn(op: str, params: tuple, impl: str):

@@ -112,14 +112,22 @@ def stencil_apply_sharded(fn_full, image, radius: int, mesh: Mesh,
     (e.g. a guide image) sharded and halo-exchanged the same way, passed to
     fn_full after the image.
 
-    Generic path: builds a fresh jitted runner each call (retraces).  The
-    per-op wrappers below go through a cached runner instead.
+    The runner is memoized on (fn_full, mesh, radius, ranks) — like the
+    per-op wrappers below — so repeated calls with a STABLE fn_full reuse
+    one compiled program; a fresh lambda per call still retraces (its
+    identity is the cache key).
     """
     _check_shardable(image.shape[0], radius, mesh)
     in_ndims = (image.ndim,) + tuple(e.ndim for e in extras)
-    run = _make_stencil_runner(fn_full, radius, mesh, in_ndims,
-                               out_ndim or image.ndim)
+    run = _cached_generic_stencil_runner(fn_full, radius, mesh, in_ndims,
+                                         out_ndim or image.ndim)
     return run(image, *extras)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_generic_stencil_runner(fn_full, radius: int, mesh: Mesh,
+                                   in_ndims: tuple, out_ndim: int):
+    return _make_stencil_runner(fn_full, radius, mesh, in_ndims, out_ndim)
 
 
 def _default_mesh(mesh):
