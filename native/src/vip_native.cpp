@@ -248,4 +248,225 @@ void vip_slic_merge(const int32_t* comp, int h, int w, int ncomp,
     for (int32_t c = 0; c < ncomp; c++) mapping_out[c] = find(c);
 }
 
+// ---------------------------------------------------------------------------
+// Fused SLIC enforce_connectivity (reference include/cpp/slic.hpp:386-458):
+// CCL + per-component sums + adjacency + small-segment merge + final
+// raster-first-encounter relabel in ONE call, RUN-based.  Semantically
+// identical to composing vip_ccl_4conn + vip_component_sums +
+// vip_slic_merge + the Python compaction (equality pinned by
+// tests/test_native.py), but ~4x faster: rows decompose into maximal
+// equal-label runs, so the union-find works on ~#runs nodes instead of h*w,
+// the Lab sums accumulate contiguously per run, adjacency edges are pushed
+// per run pair instead of per boundary pixel, and the output labels are
+// written run-at-a-time.  labels: (h*w) int32; lab: (h*w*3) u8;
+// out: (h*w) int32.  Returns the final region count (or -1 on bad input).
+// ---------------------------------------------------------------------------
+int vip_slic_connectivity(const int32_t* labels, const uint8_t* lab,
+                          int h, int w, int64_t min_area, int32_t* out) {
+    if (h <= 0 || w <= 0) return -1;
+    // ---- pass 1: split rows into maximal equal-label runs and accumulate
+    // each run's Lab color sums (the ONLY pixel sweep in the whole call).
+    // Two-phase (count rows, then fill at prefix offsets) so rows are
+    // independent — parallelized with OpenMP on multi-core hosts; the
+    // run order stays raster (deterministic) either way.  Runs being in
+    // raster order makes the smallest run id in a component its raster
+    // first-encounter — kept as the union-find root (a < b rule), which
+    // makes component numbering trivial later.
+    struct Run { int32_t x0, x1, row, label; };  // [x0, x1), row, label
+    std::vector<int32_t> row_start(h + 1, 0);    // run-index range per row
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int y = 0; y < h; y++) {
+        const int32_t* L = labels + static_cast<int64_t>(y) * w;
+        int32_t cnt = 1;
+        for (int x = 0; x < w - 1; x++) cnt += (L[x] != L[x + 1]);
+        row_start[y + 1] = cnt;
+    }
+    for (int y = 0; y < h; y++) row_start[y + 1] += row_start[y];
+    const int32_t nrun = row_start[h];
+    std::vector<Run> runs(nrun);
+    std::vector<int32_t> rsum(static_cast<size_t>(nrun) * 3);  // Lab sums
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int y = 0; y < h; y++) {
+        const int32_t* L = labels + static_cast<int64_t>(y) * w;
+        const uint8_t* P = lab + static_cast<int64_t>(y) * w * 3;
+        int32_t r = row_start[y];
+        int x = 0;
+        while (x < w) {
+            int x1 = x + 1;
+            const int32_t v = L[x];
+            while (x1 < w && L[x1] == v) x1++;
+            int32_t s0 = 0, s1 = 0, s2 = 0;
+            for (int k = 3 * x; k < 3 * x1; k += 3) {
+                s0 += P[k]; s1 += P[k + 1]; s2 += P[k + 2];
+            }
+            runs[r] = {x, x1, y, v};
+            rsum[3 * static_cast<size_t>(r)] = s0;
+            rsum[3 * static_cast<size_t>(r) + 1] = s1;
+            rsum[3 * static_cast<size_t>(r) + 2] = s2;
+            r++;
+            x = x1;
+        }
+    }
+
+    std::vector<int32_t> parent(nrun);
+    for (int32_t i = 0; i < nrun; i++) parent[i] = i;
+    auto find = [&](int32_t q) {
+        while (parent[q] != q) {
+            parent[q] = parent[parent[q]];
+            q = parent[q];
+        }
+        return q;
+    };
+    auto unite = [&](int32_t a, int32_t b) {
+        a = find(a); b = find(b);
+        if (a == b) return;
+        if (a < b) parent[b] = a; else parent[a] = b;  // raster-smallest root
+    };
+    for (int y = 1; y < h; y++) {
+        int32_t up = row_start[y - 1];
+        const int32_t up_end = row_start[y];
+        for (int32_t r = row_start[y]; r < row_start[y + 1]; r++) {
+            // advance over previous-row runs ending at or before our start
+            while (up < up_end && runs[up].x1 <= runs[r].x0) up++;
+            for (int32_t u = up; u < up_end && runs[u].x0 < runs[r].x1; u++)
+                if (runs[u].label == runs[r].label) unite(u, r);
+            // the last overlapping run may also overlap the NEXT run of
+            // this row, so `up` must not move past it — it only advanced
+            // over runs that end before our start.
+        }
+    }
+
+    // ---- pass 2 (over runs): compact component ids in raster
+    // first-encounter order, accumulate int64 sums per component, and
+    // collect adjacency edges (horizontal: adjacent runs in a row always
+    // differ in label; vertical: overlapping runs with different labels).
+    std::vector<int32_t> comp_of_run(nrun);
+    std::vector<int32_t> remap(nrun, -1);
+    int32_t ncomp = 0;
+    for (int32_t r = 0; r < nrun; r++) {
+        const int32_t root = find(r);
+        if (remap[root] < 0) remap[root] = ncomp++;
+        comp_of_run[r] = remap[root];
+    }
+    // sums layout matches vip_component_sums: (x, y, c0, c1, c2, count)
+    std::vector<int64_t> sums(static_cast<size_t>(ncomp) * 6, 0);
+    std::vector<std::pair<int32_t, int32_t>> edges;  // undirected, once each
+    edges.reserve(static_cast<size_t>(nrun) * 2);
+    for (int y = 0; y < h; y++) {
+        int32_t up = (y > 0) ? row_start[y - 1] : 0;
+        const int32_t up_end = (y > 0) ? row_start[y] : 0;
+        for (int32_t r = row_start[y]; r < row_start[y + 1]; r++) {
+            const Run& run = runs[r];
+            const int32_t c = comp_of_run[r];
+            int64_t* s = sums.data() + static_cast<int64_t>(c) * 6;
+            const int64_t len = run.x1 - run.x0;
+            // x-sum of [x0, x1): arithmetic series; y-sum: y * len
+            s[0] += (static_cast<int64_t>(run.x0 + run.x1 - 1) * len) / 2;
+            s[1] += static_cast<int64_t>(run.row) * len;
+            s[2] += rsum[3 * static_cast<size_t>(r)];
+            s[3] += rsum[3 * static_cast<size_t>(r) + 1];
+            s[4] += rsum[3 * static_cast<size_t>(r) + 2];
+            s[5] += len;
+            if (r + 1 < row_start[y + 1])          // horizontal neighbour
+                edges.emplace_back(c, comp_of_run[r + 1]);
+            while (up < up_end && runs[up].x1 <= run.x0) up++;
+            for (int32_t u = up; u < up_end && runs[u].x0 < run.x1; u++)
+                if (comp_of_run[u] != c) edges.emplace_back(comp_of_run[u], c);
+        }
+    }
+    // CSR adjacency (duplicates kept — deduped at use via the stamp array)
+    std::vector<int32_t> off(static_cast<size_t>(ncomp) + 2, 0);
+    for (const auto& e : edges) { off[e.first + 2]++; off[e.second + 2]++; }
+    for (size_t i = 2; i < off.size(); i++) off[i] += off[i - 1];
+    std::vector<int32_t> adj(edges.size() * 2);
+    for (const auto& e : edges) {
+        adj[off[e.first + 1]++] = e.second;
+        adj[off[e.second + 1]++] = e.first;
+    }  // off[c]..off[c+1] now bounds component c's neighbors
+
+    // ---- pass 3: small-segment merge, identical rule set to
+    // vip_slic_merge (original sizes/means, id-order visits, exact-double
+    // distances, ties to the lowest root id).  The merged region's
+    // neighbor multiset is iterated via a member-component chain over the
+    // static CSR rows (same canonicalize-at-use + stamp dedup as the
+    // list-folding formulation, so the candidate SET is identical).
+    std::vector<int32_t> mapping(ncomp);
+    std::vector<int32_t> chain_next(ncomp, -1), chain_tail(ncomp);
+    for (int32_t c = 0; c < ncomp; c++) { mapping[c] = c; chain_tail[c] = c; }
+    auto mfind = [&](int32_t q) {
+        while (mapping[q] != q) {
+            mapping[q] = mapping[mapping[q]];
+            q = mapping[q];
+        }
+        return q;
+    };
+    // integer-truncated Lab means, precomputed once (the divisions would
+    // otherwise run per candidate comparison)
+    std::vector<int32_t> mean3(static_cast<size_t>(ncomp) * 3);
+    for (int32_t c = 0; c < ncomp; c++) {
+        const int64_t* s = sums.data() + static_cast<int64_t>(c) * 6;
+        mean3[3 * static_cast<size_t>(c)] = static_cast<int32_t>(s[2] / s[5]);
+        mean3[3 * static_cast<size_t>(c) + 1] = static_cast<int32_t>(s[3] / s[5]);
+        mean3[3 * static_cast<size_t>(c) + 2] = static_cast<int32_t>(s[4] / s[5]);
+    }
+    auto color_dist = [&](int32_t c1, int32_t c2) {
+        const int32_t* m1 = mean3.data() + 3 * static_cast<size_t>(c1);
+        const int32_t* m2 = mean3.data() + 3 * static_cast<size_t>(c2);
+        const double dl = (m1[0] - m2[0]) * 2.55;
+        const double da = static_cast<double>(m1[1] - m2[1]);
+        const double db = static_cast<double>(m1[2] - m2[2]);
+        return dl * dl + da * da + db * db;
+    };
+    std::vector<int32_t> stamp(ncomp, -1);
+    std::vector<int32_t> cand;
+    for (int32_t c = 0; c < ncomp; c++) {
+        const int32_t cur = mfind(c);
+        if (sums[static_cast<int64_t>(cur) * 6 + 5] >= min_area) continue;
+        cand.clear();
+        for (int32_t m = cur; m != -1; m = chain_next[m])
+            for (int32_t k = off[m]; k < off[m + 1]; k++) {
+                const int32_t r = mfind(adj[k]);
+                if (r != cur && stamp[r] != c) { stamp[r] = c; cand.push_back(r); }
+            }
+        if (cand.empty()) continue;
+        int32_t best = cand[0];
+        double best_d = color_dist(cur, cand[0]);
+        for (size_t i = 1; i < cand.size(); i++) {
+            const double d = color_dist(cur, cand[i]);
+            if (d < best_d || (d == best_d && cand[i] < best)) {
+                best_d = d; best = cand[i];
+            }
+        }
+        mapping[cur] = best;
+        chain_next[chain_tail[best]] = cur;    // append cur's member chain
+        chain_tail[best] = chain_tail[cur];
+    }
+
+    // ---- pass 4: compact merged roots to consecutive region ids in raster
+    // first-encounter order (component ids are already raster-ordered, so
+    // first occurrence over ids == raster first pixel), then write the
+    // output run-at-a-time.
+    std::vector<int32_t> region(ncomp, -1);
+    std::vector<int32_t> final_of_comp(ncomp);
+    int32_t nregion = 0;
+    for (int32_t c = 0; c < ncomp; c++) {
+        const int32_t root = mfind(c);
+        if (region[root] < 0) region[root] = nregion++;
+        final_of_comp[c] = region[root];
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int32_t r = 0; r < nrun; r++) {  // pure reads — parallel-safe
+        const int32_t id = final_of_comp[comp_of_run[r]];
+        int32_t* dst = out + static_cast<int64_t>(runs[r].row) * w;
+        for (int32_t x = runs[r].x0; x < runs[r].x1; x++) dst[x] = id;
+    }
+    return nregion;
+}
+
 }  // extern "C"

@@ -69,7 +69,55 @@ def test_slic_merge_matches_python_path(monkeypatch):
 
     with_native = slic_mod.enforce_connectivity(labels, lab, sp_size=30)
 
-    # force the python fallback
+    # force the python fallback (both native entry points)
+    monkeypatch.setattr(native, "slic_connectivity", lambda *a, **k: None)
     monkeypatch.setattr(native, "slic_merge", lambda *a, **k: None)
     without_native = slic_mod.enforce_connectivity(labels, lab, sp_size=30)
     np.testing.assert_array_equal(with_native, without_native)
+
+
+def _staged_connectivity(labels, lab, min_area):
+    """The pre-fusion staged composition (ccl + sums + merge + numpy
+    compaction) — kept in the tests as the equality oracle for the fused
+    native call."""
+    comp, ncomp = native.ccl_4conn(labels)
+    sums = native.component_sums(comp, lab, ncomp)
+    sizes = sums[:, 5]
+    means = sums[:, 2:5] // sizes[:, None]
+    mapping = native.slic_merge(comp, means, sizes, min_area)
+    _, first_idx, inv = np.unique(mapping, return_index=True,
+                                  return_inverse=True)
+    rank = np.argsort(np.argsort(first_idx)).astype(np.int32)
+    return rank[inv][comp]
+
+
+@pytest.mark.parametrize("seed,shape,nlabels", [
+    (0, (60, 50), 6), (1, (37, 83), 12), (2, (128, 128), 40),
+])
+def test_fused_connectivity_equals_staged(seed, shape, nlabels):
+    """vip_slic_connectivity (run-based, one call) must reproduce the
+    staged ccl_4conn + component_sums + slic_merge + compaction pipeline
+    bit-for-bit on noisy label maps (high fragmentation — the hard case
+    for run/merge bookkeeping)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, nlabels, size=shape).astype(np.int32)
+    lab = rng.randint(0, 255, size=shape + (3,)).astype(np.uint8)
+    for min_area in (0, 5, 33):
+        fused = native.slic_connectivity(labels, lab, min_area)
+        staged = _staged_connectivity(labels, lab, min_area)
+        np.testing.assert_array_equal(fused, staged)
+
+
+def test_fused_connectivity_uniform_and_single_row():
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    labels = np.zeros((9, 9), np.int32)
+    lab = np.full((9, 9, 3), 7, np.uint8)
+    out = native.slic_connectivity(labels, lab, 4)
+    np.testing.assert_array_equal(out, np.zeros((9, 9), np.int32))
+    labels = np.array([[0, 0, 1, 2, 2]], np.int32)
+    lab = np.zeros((1, 5, 3), np.uint8)
+    out = native.slic_connectivity(labels, lab, 0)  # no merging
+    np.testing.assert_array_equal(out, [[0, 0, 1, 2, 2]])

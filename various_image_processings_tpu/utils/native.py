@@ -78,6 +78,11 @@ def _lib():
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.vip_slic_connectivity.restype = ctypes.c_int
+    lib.vip_slic_connectivity.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
     return lib
 
 
@@ -154,6 +159,29 @@ def bgr2lab_u8(img: np.ndarray, gamma_tab: np.ndarray, cbrt_tab: np.ndarray,
         cbrt_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def slic_connectivity(labels: np.ndarray, lab: np.ndarray, min_area: int):
+    """Fused SLIC enforce_connectivity (euclidean metric): (H,W) i32 raw
+    k-means labels + (H,W,3) u8 Lab image → (H,W) i32 final region labels
+    in raster first-encounter order, or None if unavailable.  One native
+    call replacing ccl_4conn + component_sums + slic_merge + the Python
+    compaction (equality pinned by tests/test_native.py)."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "vip_slic_connectivity"):
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    lab = np.ascontiguousarray(lab, np.uint8)
+    h, w = labels.shape
+    out = np.empty_like(labels)
+    n = lib.vip_slic_connectivity(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        int(min_area),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        return None
     return out
 
 
