@@ -83,7 +83,7 @@ def test_ring_search_energy_matches_bruteforce():
     first-minimum (raster) tie-break and the border in-range masks."""
     import jax.numpy as jnp
     from various_image_processings_tpu.models.inpainting import (
-        _ring_targets_search, WHALF, WINDOW_SIZE)
+        _build_p117, _ring_targets_search, WHALF, WINDOW_SIZE)
 
     rng = np.random.default_rng(7)
     h, w = 33, 41
@@ -97,9 +97,10 @@ def test_ring_search_energy_matches_bruteforce():
     tx = np.array([t[1] for t in targets], np.int32)
     tvalid = np.ones(len(targets), bool)
 
+    img_j = jnp.asarray(img)
     e, by, bx = _ring_targets_search(
-        jnp.asarray(img), jnp.asarray(rem), jnp.asarray(ty), jnp.asarray(tx),
-        jnp.asarray(tvalid), h, w, initial=False)
+        img_j, _build_p117(img_j, w), jnp.asarray(rem), jnp.asarray(ty),
+        jnp.asarray(tx), jnp.asarray(tvalid), h, w, initial=False)
     e, by, bx = np.asarray(e), np.asarray(by), np.asarray(bx)
 
     # brute force
@@ -153,3 +154,28 @@ def test_wexler_bbox_bucketing_reuses_executable():
     inpainting_wexler(img, m2)
     assert M._fill_pass_device._cache_size() == n_fill
     assert M._energy_loops_device._cache_size() == n_loop
+
+
+def test_p117_incremental_update_matches_rebuild():
+    """The cached candidate planes must stay coherent: after mutating the
+    image inside a bbox, _update_p117 must equal a from-scratch
+    _build_p117 bit-for-bit (bf16 entries are exact integers <= 255), for
+    boxes in the interior, flush on each border, and the full image."""
+    import jax.numpy as jnp
+    from various_image_processings_tpu.models.inpainting import (
+        _build_p117, _update_p117)
+
+    rng = np.random.default_rng(11)
+    h, w = 40, 52
+    for (by0, bx0, bh, bw) in [(10, 15, 8, 12), (0, 0, 6, 6),
+                               (32, 40, 8, 12), (0, 40, 5, 12),
+                               (0, 0, 40, 52)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+        p117 = _build_p117(jnp.asarray(img), w)
+        img2 = img.copy()
+        img2[by0:by0 + bh, bx0:bx0 + bw] = rng.integers(
+            0, 256, (bh, bw, 3)).astype(np.float32)
+        upd = _update_p117(p117, jnp.asarray(img2), h, w, bh, bw,
+                           jnp.int32(by0), jnp.int32(bx0))
+        ref = _build_p117(jnp.asarray(img2), w)
+        np.testing.assert_array_equal(np.asarray(upd), np.asarray(ref))

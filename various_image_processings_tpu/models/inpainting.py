@@ -192,14 +192,56 @@ def contour_with_priority(mask: np.ndarray):
 # device-side fill pass (whole onion-peel loop in one XLA program)
 # ---------------------------------------------------------------------------
 
-def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
-                         initial):
+def _build_p117(image_f, width):
+    """Candidate-side conv input: the kx-packed (H, n_cx, 117) bf16 planes
+    (see _ring_targets_search LAYOUT note).  All entries are integers ≤ 255
+    (hi = floor(a²/256) ≤ 254, lo = a² mod 256, a ≤ 255), so the bf16 cast
+    is exact — carrying p117 as bf16 loop state loses nothing."""
+    n_cx = width - 2 * WHALF
+    k = WINDOW_SIZE
+    sq = image_f * image_f                                   # exact ints
+    hi = jnp.floor(sq * jnp.float32(1.0 / 256.0))
+    lo = sq - hi * jnp.float32(256.0)
+    planes = jnp.concatenate([hi, lo, image_f], axis=2)      # (H, W, 9)
+    return jnp.concatenate(
+        [planes[:, kx : kx + n_cx, :] for kx in range(k)],
+        axis=2).astype(jnp.bfloat16)                         # (H, n_cx, 117)
+
+
+def _update_p117(p117, image_f, height, width, bh, bw, by0, bx0):
+    """Refresh the (bh, bw)-at-(by0, bx0) hole-box region of the cached
+    p117 after a ring fill mutated image_f there.  Image columns
+    [bx0, bx0+bw) feed p117 columns [bx0−12, bx0+bw): recompute a
+    (bh, uw+12) image strip and re-pack just those columns — O(box) work
+    instead of the full O(H·W·117) rebuild per while-iteration."""
+    n_cx = width - 2 * WHALF
+    k = WINDOW_SIZE
+    uw = min(bw + 2 * WHALF, n_cx)      # static (bw, n_cx static)
+    # p117 col x' reads image cols [x', x'+2·WHALF], so image cols
+    # [bx0, bx0+bw) feed p117 cols [bx0−2·WHALF, bx0+bw)
+    ux0 = jnp.clip(bx0 - 2 * WHALF, 0, n_cx - uw)  # traced origin
+    # p117 col x' ∈ [ux0, ux0+uw) reads image cols [x', x'+12] ⊆
+    # [ux0, ux0+uw+12) with uw+12 ≤ n_cx+12 = width — always in bounds
+    strip = jax.lax.dynamic_slice(image_f, (by0, ux0, 0),
+                                  (bh, uw + 2 * WHALF, 3))
+    sq = strip * strip
+    hi = jnp.floor(sq * jnp.float32(1.0 / 256.0))
+    lo = sq - hi * jnp.float32(256.0)
+    planes = jnp.concatenate([hi, lo, strip], axis=2)
+    upd = jnp.concatenate([planes[:, kx : kx + uw, :] for kx in range(k)],
+                          axis=2).astype(jnp.bfloat16)       # (bh, uw, 117)
+    return jax.lax.dynamic_update_slice(p117, upd, (by0, ux0, 0))
+
+
+def _ring_targets_search(image_f, p117, remained, ty, tx, tvalid, height,
+                         width, initial):
     """Exemplar search for ≤RING_CAP ring targets against ALL candidates.
 
-    image_f: (H, W, 3) f32 (integer-valued); remained: (H, W) f32 (1 = hole);
-    ty/tx: (T,) i32 target coords (padded entries anywhere in-bounds);
-    tvalid: (T,) bool.  Returns (energy (T,) f32 — inf where no candidate,
-    0 where invalid —, best_y, best_x (T,) i32).
+    image_f: (H, W, 3) f32 (integer-valued); p117: the cached candidate
+    planes for the SAME image (_build_p117/_update_p117); remained:
+    (H, W) f32 (1 = hole); ty/tx: (T,) i32 target coords (padded entries
+    anywhere in-bounds); tvalid: (T,) bool.  Returns (energy (T,) f32 —
+    inf where no candidate, 0 where invalid —, best_y, best_x (T,) i32).
     """
     t = ty.shape[0]
     patch_len = WINDOW_SIZE * WINDOW_SIZE * 3
@@ -260,14 +302,8 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
     b_masked = b * mflat
     b2_const = jnp.sum(b_masked * b, axis=1)                 # Σ m b²  (T,)
 
-    sq = image_f * image_f                                   # exact ints
-    hi = jnp.floor(sq * jnp.float32(1.0 / 256.0))
-    lo = sq - hi * jnp.float32(256.0)
-    planes = jnp.concatenate([hi, lo, image_f], axis=2)      # (H, W, 9)
-    # pack kx into channels: 13 static lane-shifted slices
-    p117 = jnp.concatenate([planes[:, kx : kx + n_cx, :] for kx in range(k)],
-                           axis=2)                           # (H, n_cx, 117)
-
+    # candidate planes come in CACHED (p117 loop state, bf16-exact): the
+    # O(H·W·117) pack is paid once per pass, not once per while-iteration
     m4 = mflat.reshape(t, 3, k, k)
     bm4 = b_masked.reshape(t, 3, k, k)
     filt = jnp.concatenate(
@@ -277,7 +313,7 @@ def _ring_targets_search(image_f, remained, ty, tx, tvalid, height, width,
     f117 = (filt.transpose(2, 3, 1, 0).reshape(k, 1, k * 9, t)
             .astype(jnp.bfloat16))
 
-    x = p117.astype(jnp.bfloat16)[None]                      # (1, H, n_cx, 117)
+    x = p117[None]                                           # (1, H, n_cx, 117)
     dn = jax.lax.conv_dimension_numbers(x.shape, f117.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     e = jax.lax.conv_general_dilated(
@@ -337,7 +373,7 @@ def _pass_core(img_f, rem_f, weight, height, width,
         by0, bx0 = bbox_origin
 
     def body(carry):
-        img_f, rem, energy, fail = carry
+        img_f, p117, rem, energy, fail = carry
         rem_box = jax.lax.dynamic_slice(rem, (by0, bx0), (bh, bw))
         if initial:
             # onion peel: only boundary pixels have known context to copy
@@ -358,7 +394,7 @@ def _pass_core(img_f, rem_f, weight, height, width,
         tys = tys + by0
         txs = txs + bx0
         tvalid = jnp.arange(cap) < count
-        e, by, bx = _ring_targets_search(img_f, rem, tys, txs, tvalid,
+        e, by, bx = _ring_targets_search(img_f, p117, rem, tys, txs, tvalid,
                                          height, width, initial)
         fail_now = jnp.any(tvalid & ~jnp.isfinite(e))   # :308-311
         do = tvalid & ~fail_now
@@ -368,16 +404,18 @@ def _pass_core(img_f, rem_f, weight, height, width,
         vals = img_f[by, bx]                            # (cap, 3)
         img_f = img_f.at[ty_s, txs].set(vals, mode="drop")
         rem = rem.at[ty_s, txs].set(0.0, mode="drop")
+        p117 = _update_p117(p117, img_f, height, width, bh, bw, by0, bx0)
         energy = energy + jnp.sum(jnp.where(do, e * weight[tys, txs], 0.0))
-        return img_f, rem, energy, fail | fail_now
+        return img_f, p117, rem, energy, fail | fail_now
 
     def cond(carry):
-        _, rem, _, fail = carry
+        _, _, rem, _, fail = carry
         rem_box = jax.lax.dynamic_slice(rem, (by0, bx0), (bh, bw))
         return (jnp.sum(rem_box) > 0) & ~fail
 
-    carry0 = (img_f, rem_f, jnp.float32(0.0), jnp.bool_(False))
-    img_f, _, energy, fail = jax.lax.while_loop(cond, body, carry0)
+    carry0 = (img_f, _build_p117(img_f, width), rem_f, jnp.float32(0.0),
+              jnp.bool_(False))
+    img_f, _, _, energy, fail = jax.lax.while_loop(cond, body, carry0)
     return img_f, jnp.where(fail, jnp.float32(-1.0), energy)
 
 
