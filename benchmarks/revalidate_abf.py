@@ -2,9 +2,10 @@
 
 Run after any change to the ABF weight path: checks Mosaic still compiles
 the kernel, parity holds on hardware (±1 vs golden at standard σ, the D2b
-envelope on the adversarial fuzz case), and re-measures 4K throughput
-(the fix costs +2 ops/tap on a 20-op audit → expect ~900 MP/s vs the
-pre-fix 980).
+envelope on the adversarial fuzz case), and re-measures 4K throughput.
+Audit: the D2b cut costs cmp+select and the round-4 fma-folded index saves
+one op → 21 ops/tap at bench σ (projects ~930 MP/s vs the pre-fix 980);
+σc ≳ 107 drops the cut at trace time (19 ops/tap).
 
 Run: `python benchmarks/revalidate_abf.py`  (exit 0 = all checks hold).
 """

@@ -57,6 +57,18 @@ def test_pallas_adaptive_bilateral_vs_golden():
     assert max_diff(actual, expected) <= 1
 
 
+def test_pallas_adaptive_bilateral_large_sigma_specialized_kernel():
+    """σ_color ≳ 107 puts the LUT zero index past the reachable dist range
+    (3·510), so the kernel drops the exact-zero cut at trace time
+    (ops/pallas/adaptive_bilateral.py) — this pins the specialized kernel's
+    parity on both sides of that threshold."""
+    src = random_image(50, 50)
+    for sc in (105.0, 150.0):
+        expected = golden.adaptive_bilateral_filter(src, 9, 10.0, sc)
+        actual = adaptive_bilateral_filter(src, 9, 10.0, sc, impl="pallas")
+        assert max_diff(actual, expected) <= 1, sc
+
+
 def test_pallas_large_ksize_falls_back_to_xla():
     # 17×17 (the BTF joint-bilateral size) exceeds the unroll budget and must
     # still produce parity output through the fallback

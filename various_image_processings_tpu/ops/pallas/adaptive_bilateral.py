@@ -61,8 +61,17 @@ def _make_kernel(plan, taps, ksize, coeff, zero_cut):
     k2f = np.float32(ksize * ksize)
     two_k2 = np.float32(2 * ksize * ksize)
     inv_k2 = np.float32(1.0) / np.float32(ksize * ksize)
+    # +0.5 boundary guard folded into the reciprocal-multiply as an fma
+    # addend: floor(t·inv_k2 + 0.5·inv_k2) — one op instead of add+mul.
+    # Exact: t is an exact integer ≤ 510·k², the fma rounds once, and the
+    # total error ~v·2⁻²³ stays far inside the 0.5/k² boundary margin.
+    half_inv = np.float32(0.5) * inv_k2
     lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
-    cut = np.float32(zero_cut)
+    # the exact-zero cutoff (D2b) costs cmp+select per tap; dist ≤ 3·510
+    # always, so a zero index past 1530 makes the cut unreachable and the
+    # two ops drop at trace time (σ_color ≳ 107)
+    MAX_DIST = 3 * 510
+    cut = np.float32(zero_cut) if zero_cut <= MAX_DIST else None
     bh = th + 2 * r  # rows covered by the horizontal box strips
 
     def kernel(src_ref, out_ref):
@@ -95,9 +104,9 @@ def _make_kernel(plan, taps, ksize, coeff, zero_cut):
             p2 = src_ref[2, dy : dy + th, dx : dx + tw]
             t = (jnp.abs(p0 * k2f + e0) + jnp.abs(p1 * k2f + e1)
                  + jnp.abs(p2 * k2f + e2))
-            # exact floor(t/k²): t is an exact integer; +0.5 keeps the
-            # reciprocal-multiply rounding away from integer boundaries
-            dist = jnp.floor((t + jnp.float32(0.5)) * inv_k2)
+            # exact floor(t/k²): t is an exact integer; the folded-in
+            # half_inv keeps the rounding away from integer boundaries
+            dist = jnp.floor(t * inv_k2 + half_inv)
             # ws·exp(d²·coeff)·2⁶⁴ folded into one exp2 fma (≤2 ulp vs the
             # factored form — inside the ±1 u8 contract; see
             # ops/pallas/bilateral.py _make_kernel).  The 2⁶⁴ bias keeps the
@@ -106,11 +115,10 @@ def _make_kernel(plan, taps, ksize, coeff, zero_cut):
             # the cut select pins the LUT's exact-zero region to hard 0 —
             # see ops/adaptive_bilateral.py and core/luts.py
             # color_table_zero_index for the full story.
-            wk = jnp.where(
-                dist < cut,
-                jnp.exp2(dist * dist * lg_coeff
-                         + np.float32(np.log2(ws) + 64.0)),
-                np.float32(0.0))
+            wk = jnp.exp2(dist * dist * lg_coeff
+                          + np.float32(np.log2(ws) + 64.0))
+            if cut is not None:
+                wk = jnp.where(dist < cut, wk, np.float32(0.0))
             a0 = a0 + p0 * wk
             a1 = a1 + p1 * wk
             a2 = a2 + p2 * wk
@@ -141,7 +149,7 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
 
     src_p = to_planar_padded(src_u8, plan)
     cost = pl.CostEstimate(
-        flops=(len(taps) * 22 + 6 * ksize) * plan.out_rows * plan.out_cols,
+        flops=(len(taps) * 21 + 6 * ksize) * plan.out_rows * plan.out_cols,
         bytes_accessed=2 * 3 * plan.padded_rows * plan.padded_cols * 4,
         transcendentals=len(taps) * plan.out_rows * plan.out_cols,
     )
