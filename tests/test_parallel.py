@@ -224,3 +224,42 @@ def test_batched_apply_rank_changing_fn():
     assert out.shape == (4, 16, 16)
     single = _gradient_jit(imgs[0], impl="xla")
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(single))
+
+
+def test_batched_apply_warns_on_fresh_closure_churn():
+    """Passing a fresh lambda per call retraces every invocation and pins
+    each closure in the runner cache — the third miss for the same code
+    object must fire a RuntimeWarning (ADVICE r3)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from various_image_processings_tpu.core.rng import random_image
+    from various_image_processings_tpu.parallel import make_mesh
+    from various_image_processings_tpu.parallel import batch as batch_mod
+
+    mesh = make_mesh(batch=2, spatial=1)
+    imgs = jnp.asarray(np.stack([random_image(8, 8) for _ in range(2)]))
+
+    def fresh():
+        # distinct function objects, one shared code object
+        return lambda im: im + jnp.uint8(1)
+
+    code = fresh().__code__
+    batch_mod._RUNNER_MISSES_BY_CODE.pop(code, None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(3):
+            batch_mod.batched_apply(fresh(), imgs, mesh)
+    msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)
+            and "fresh lambda" in str(w.message)]
+    assert len(msgs) == 1
+
+    # a STABLE callable must never trigger it
+    stable = fresh()
+    batch_mod._RUNNER_MISSES_BY_CODE.pop(code, None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(4):
+            batch_mod.batched_apply(stable, imgs, mesh)
+    assert not any("fresh lambda" in str(w.message) for w in caught)
