@@ -258,10 +258,13 @@ def test_wexler_fill_vs_reference(oracle):
     psnr_ref = hole_psnr(ref)
     psnr_ours = hole_psnr(ours)
     # same quality regime as the reference's exhaustive sequential search
-    assert psnr_ours >= psnr_ref - 3.0, (psnr_ours, psnr_ref)
+    # (measured 2026-08-18 with the bit-exact pyramid: ours +0.67 dB ABOVE
+    # the reference; margin tightened 3.0 -> 1.5 accordingly)
+    assert psnr_ours >= psnr_ref - 1.5, (psnr_ours, psnr_ref)
     # and the two fills agree with each other well beyond chance
+    # (measured mutual 29.4 dB)
     mse_mutual = ((ours.astype(np.float64) - ref.astype(np.float64)) ** 2)[hole].mean()
-    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 15.0
+    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 20.0
 
 
 def test_wexler_multilevel_fill_vs_reference(oracle):
@@ -293,9 +296,12 @@ def test_wexler_multilevel_fill_vs_reference(oracle):
 
     psnr_ref = hole_psnr(ref)
     psnr_ours = hole_psnr(ours)
-    assert psnr_ours >= psnr_ref - 3.0, (psnr_ours, psnr_ref)
+    # measured 2026-08-18 (bit-exact u8 pyramid twins): ours +0.51 dB above
+    # the reference, mutual 32.2 dB — margins tightened from the pre-exact-
+    # pyramid 3.0/12.0
+    assert psnr_ours >= psnr_ref - 1.5, (psnr_ours, psnr_ref)
     mse_mutual = ((ours.astype(np.float64) - ref.astype(np.float64)) ** 2)[hole].mean()
-    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 12.0
+    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 16.0
 
 
 def test_wexler_near_border_hole_vs_reference(oracle):
@@ -331,9 +337,10 @@ def test_wexler_near_border_hole_vs_reference(oracle):
 
     psnr_ref = hole_psnr(ref)
     psnr_ours = hole_psnr(ours)
-    assert psnr_ours >= psnr_ref - 3.0, (psnr_ours, psnr_ref)
+    # measured 2026-08-18: ours +0.10 dB above the reference, mutual 24.0 dB
+    assert psnr_ours >= psnr_ref - 1.5, (psnr_ours, psnr_ref)
     mse_mutual = ((ours.astype(np.float64) - ref.astype(np.float64)) ** 2)[hole].mean()
-    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 12.0
+    assert 10 * np.log10(255.0 ** 2 / max(mse_mutual, 1e-12)) > 15.0
 
 
 def test_wexler_border_flush_hole_reference_crashes_ours_fills(oracle):
