@@ -179,3 +179,62 @@ def test_p117_incremental_update_matches_rebuild():
                            jnp.int32(by0), jnp.int32(bx0))
         ref = _build_p117(jnp.asarray(img2), w)
         np.testing.assert_array_equal(np.asarray(upd), np.asarray(ref))
+
+
+def test_pallas_search_matches_conv_path(monkeypatch):
+    """The fused matmul+argmin kernel (interpret mode on CPU) must agree
+    with the conv+argmin path: identical picks on unique minima and the
+    same lexicographic (energy, raster index) tie rule; energies equal up
+    to f32 summation order of exact products."""
+    import jax.numpy as jnp
+    from various_image_processings_tpu.models import inpainting as M
+
+    rng = np.random.default_rng(3)
+    h, w = 34, 45
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+    rem = np.zeros((h, w), np.float32)
+    rem[15:20, 21:26] = 1.0
+    targets = [(15, 21), (15, 25), (19, 23), (5, 1)]
+    rem[5, 1] = 1.0
+    ty = jnp.asarray(np.array([t[0] for t in targets], np.int32))
+    tx = jnp.asarray(np.array([t[1] for t in targets], np.int32))
+    tvalid = jnp.asarray(np.ones(len(targets), bool))
+    img_j = jnp.asarray(img)
+    p117 = M._build_p117(img_j, w)
+
+    outs = {}
+    for impl in ("conv", "pallas"):
+        monkeypatch.setattr(M, "_search_impl", lambda impl=impl: impl)
+        outs[impl] = [np.asarray(v) for v in M._ring_targets_search(
+            img_j, p117, jnp.asarray(rem), ty, tx, tvalid, h, w,
+            initial=False)]
+    e_c, y_c, x_c = outs["conv"]
+    e_p, y_p, x_p = outs["pallas"]
+    np.testing.assert_array_equal(y_p, y_c)
+    np.testing.assert_array_equal(x_p, x_c)
+    np.testing.assert_allclose(e_p, e_c, rtol=1e-6, atol=4.0)
+
+
+def test_pallas_search_end_to_end_fill(monkeypatch):
+    """Full periodic-texture fill through the pallas search backend."""
+    from various_image_processings_tpu.models import inpainting as M
+
+    monkeypatch.setenv("VIP_WEXLER_SEARCH", "pallas")
+    # the backend is chosen at trace time: drop any conv-traced executables
+    # for these shapes (earlier tests share them), and drop ours afterwards
+    M._fill_pass_device.clear_cache()
+    M._energy_loops_device.clear_cache()
+    try:
+        size = 72
+        img = np.zeros((size, size, 3), np.uint8)
+        stripes = ((np.arange(size) // 4) % 2 * 180 + 40).astype(np.uint8)
+        img[:, :, :] = stripes[None, :, None]
+        mask = square_mask(size, 30, 38, 30, 38)
+        out = inpainting_wexler(img, mask, verbose=False)
+        diff = np.abs(out.astype(int) - img.astype(int))[30:38, 30:38]
+        assert np.median(diff) <= 2
+        assert diff.mean() <= 30
+    finally:
+        # don't leave pallas-traced executables for later conv-path tests
+        M._fill_pass_device.clear_cache()
+        M._energy_loops_device.clear_cache()

@@ -87,6 +87,17 @@ ENERGY_CAP = 1024         # max targets per chunk in energy (non-initial)
                           # ~1.9 ms fixed im2col cost (measured v5e)
 
 
+def _search_impl() -> str:
+    """Candidate-scan backend, read at TRACE time: "conv" (channel-packed
+    XLA conv + argmin, hardware-validated) or "pallas" (fused
+    matmul+argmin, ops/pallas/wexler_search.py — keeps the (ncand, T)
+    energy matrix in VMEM).  Env VIP_WEXLER_SEARCH overrides; default conv
+    until the kernel is Mosaic-validated on hardware.  Changing the env
+    var mid-process does not retrace already-compiled passes."""
+    import os
+    return os.environ.get("VIP_WEXLER_SEARCH", "conv")
+
+
 # ---------------------------------------------------------------------------
 # host-side helpers (sequential by nature in the reference)
 # ---------------------------------------------------------------------------
@@ -297,7 +308,7 @@ def _ring_targets_search(image_f, p117, remained, ty, tx, tvalid, height,
     ii = jnp.pad(jnp.cumsum(jnp.cumsum(remained, axis=0), axis=1),
                  [(1, 0), (1, 0)])
     box_sum = (ii[k:, k:] - ii[k:, :-k] - ii[:-k, k:] + ii[:-k, :-k])
-    valid = (box_sum == 0).reshape(ncand)
+    valid2d = box_sum == 0                                   # (n_cy, n_cx)
 
     b_masked = b * mflat
     b2_const = jnp.sum(b_masked * b, axis=1)                 # Σ m b²  (T,)
@@ -309,21 +320,31 @@ def _ring_targets_search(image_f, p117, remained, ty, tx, tvalid, height,
     filt = jnp.concatenate(
         [m4 * jnp.float32(256.0), m4, jnp.float32(-2.0) * bm4],
         axis=1)                                              # (T, 9, ky, kx)
-    # (T, 9, ky, kx) → (ky, kx, 9, T) → merge (kx, 9) → (ky, 1, 117, T)
-    f117 = (filt.transpose(2, 3, 1, 0).reshape(k, 1, k * 9, t)
-            .astype(jnp.bfloat16))
 
-    x = p117[None]                                           # (1, H, n_cx, 117)
-    dn = jax.lax.conv_dimension_numbers(x.shape, f117.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    e = jax.lax.conv_general_dilated(
-        x, f117, (1, 1), "VALID", dimension_numbers=dn,
-        preferred_element_type=jnp.float32)[0].reshape(ncand, t)
-    e = jnp.where(valid[:, None], e, jnp.float32(np.inf))
-    # argmin returns the FIRST minimum → candidate scan order is raster order
-    # of window top-lefts, same tie-break as the reference's y/x loops
-    idx = jnp.argmin(e, axis=0)                              # (T,)
-    emin = jnp.take_along_axis(e, idx[None, :], axis=0)[0]
+    if _search_impl() == "pallas":
+        # fused matmul+argmin kernel: the (ncand, T) energy matrix never
+        # leaves VMEM (ops/pallas/wexler_search.py)
+        from ..ops.pallas.wexler_search import search_min_pallas
+        f13 = (filt.transpose(2, 3, 1, 0).reshape(k, k * 9, t)
+               .astype(jnp.bfloat16))
+        emin, idx = search_min_pallas(p117, f13, valid2d,
+                                      WINDOW_SIZE, height, width)
+    else:
+        # (T, 9, ky, kx) → (ky, kx, 9, T) → merge (kx, 9) → (ky, 1, 117, T)
+        f117 = (filt.transpose(2, 3, 1, 0).reshape(k, 1, k * 9, t)
+                .astype(jnp.bfloat16))
+        x = p117[None]                                       # (1, H, n_cx, 117)
+        dn = jax.lax.conv_dimension_numbers(x.shape, f117.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        e = jax.lax.conv_general_dilated(
+            x, f117, (1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32)[0].reshape(ncand, t)
+        e = jnp.where(valid2d.reshape(ncand)[:, None], e,
+                      jnp.float32(np.inf))
+        # argmin returns the FIRST minimum → candidate scan order is raster
+        # order of window top-lefts, same tie-break as the reference's loops
+        idx = jnp.argmin(e, axis=0)                          # (T,)
+        emin = jnp.take_along_axis(e, idx[None, :], axis=0)[0]
     best_e = jnp.where(tvalid, emin + b2_const, 0.0)
     best_y = (idx // n_cx + WHALF).astype(jnp.int32)
     best_x = (idx % n_cx + WHALF).astype(jnp.int32)

@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: Wexler exemplar search with FUSED candidate argmin.
+
+The conv formulation (models/inpainting.py _ring_targets_search) computes
+the (ncand, T) energy matrix with one channel-packed conv at ~83% of bf16
+MXU peak — but XLA materializes that matrix in HBM and the argmin reads it
+back: at 700×402/T=1024 that is ~2 GB of HBM traffic per dispatch, the
+dominant fixed cost of the search (reference scan being replaced:
+include/cpp/wexler_inpainting.hpp:220-269).
+
+This kernel never materializes the energy matrix: a (16-row × 128-col)
+candidate block's energies live in VMEM, are reduced to a per-target
+(min, first-raster-flat-index) pair on the spot, and only the (nh, nw, T)
+per-block minima go to HBM (~KBs).  Blocks combine OUTSIDE in XLA by
+lexicographic (energy, flat index) min — order-independent and identical
+to the conv path's first-minimum raster tie-break (the reference's
+ascending y/x scan).
+
+Gated by ``models/inpainting.py _SEARCH_IMPL`` (env VIP_WEXLER_SEARCH),
+default "conv" until hardware-validated: bit-level energy sums can differ
+from the conv path by f32 summation order (both are exact-product bf16→f32
+schemes; sums > 2²⁴ round), so picks may differ on exact-tie candidates —
+the same divergence class as conv-vs-reference (PARITY.md D4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.pad import round_up, cdiv
+from .._dispatch import pallas_interpret
+
+ROW_BLK = 16    # candidate rows per block (bf16 sublane tile alignment)
+COL_BLK = 128   # candidate cols per block (lane tile)
+T_BLK = 256     # targets per block (lane dim of the per-block outputs)
+_BIG_I = np.int32(2**30)
+
+
+def _make_kernel(window: int, n_cx: int):
+    k = window
+
+    def kernel(p_ref, f_ref, v_ref, eout_ref, iout_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        # global raster flat index of candidate (row ROW_BLK·i+by, col
+        # COL_BLK·j+x) in the TRUE candidate grid — the tie-break key
+        base = (i * ROW_BLK) * n_cx + j * COL_BLK
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (COL_BLK, T_BLK), 0)
+
+        run_e = jnp.full((1, T_BLK), np.float32(np.inf), jnp.float32)
+        run_i = jnp.full((1, T_BLK), _BIG_I, jnp.int32)
+        for by in range(ROW_BLK):
+            acc = jnp.zeros((COL_BLK, T_BLK), jnp.float32)
+            for ky in range(k):
+                a = p_ref[by + ky]          # (COL_BLK, 117) bf16
+                f = f_ref[ky]               # (117, T_BLK) bf16
+                acc = acc + jax.lax.dot_general(
+                    a, f, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            vrow = v_ref[by, :]             # (COL_BLK,) f32: 1 = valid
+            acc = jnp.where(vrow[:, None] > np.float32(0.5), acc,
+                            np.float32(np.inf))
+            rmin = jnp.min(acc, axis=0, keepdims=True)          # (1, T)
+            idx = jnp.where(acc == rmin, col_iota + (base + by * n_cx),
+                            _BIG_I)
+            rarg = jnp.min(idx, axis=0, keepdims=True)          # (1, T)
+            better = (rmin < run_e) | ((rmin == run_e) & (rarg < run_i))
+            run_e = jnp.where(better, rmin, run_e)
+            run_i = jnp.where(better, rarg, run_i)
+        eout_ref[0, 0, :] = run_e[0]
+        iout_ref[0, 0, :] = run_i[0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window", "height", "width"))
+def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
+    """Fused candidate scan: per-target (min energy, argmin flat index).
+
+    p117: (H, n_cx, 117) bf16 kx-packed candidate planes
+    (models/inpainting.py _build_p117); f13: (k, k·9, T) bf16 per-target
+    filters; valid: (n_cy, n_cx) bool — candidate windows not touching the
+    hole.  Returns (emin (T,) f32 with +inf where no candidate,
+    flat_idx (T,) i32 raster index into the true candidate grid,
+    clamped to 0 when emin is inf).
+    """
+    k = window
+    n_cy = height - (k - 1)
+    n_cx = width - (k - 1)
+    t = f13.shape[2]
+    nh = cdiv(n_cy, ROW_BLK)
+    nw = cdiv(n_cx, COL_BLK)
+    nt = cdiv(t, T_BLK)
+    tp = nt * T_BLK
+
+    # pad: rows so every block's k-row window exists, cols to the block
+    # grid, targets to T_BLK; padded candidates carry valid=0
+    hp = nh * ROW_BLK + (k - 1)
+    p117p = jnp.pad(p117, [(0, hp - height), (0, nw * COL_BLK - n_cx),
+                           (0, 0)])
+    f13p = jnp.pad(f13, [(0, 0), (0, 0), (0, tp - t)])
+    validp = jnp.pad(valid.astype(jnp.float32),
+                     [(0, nh * ROW_BLK - n_cy), (0, nw * COL_BLK - n_cx)])
+
+    grid = (nt, nh, nw)
+    blk_rows = ROW_BLK + (k - 1)
+    cost = pl.CostEstimate(
+        flops=2 * k * p117.shape[2] * tp * nh * ROW_BLK * nw * COL_BLK,
+        bytes_accessed=(nt * hp * nw * COL_BLK * p117.shape[2] * 2
+                        + nt * nh * nw * T_BLK * 8),
+        transcendentals=0,
+    )
+    e_blk, i_blk = pl.pallas_call(
+        _make_kernel(k, n_cx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pl.Element(blk_rows), pl.Element(COL_BLK),
+                          pl.Element(p117.shape[2])),
+                         lambda tb, i, j: (i * ROW_BLK, j * COL_BLK, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, f13.shape[1], T_BLK),
+                         lambda tb, i, j: (0, 0, tb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLK, COL_BLK), lambda tb, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, T_BLK), lambda tb, i, j: (i, j, tb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T_BLK), lambda tb, i, j: (i, j, tb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nh, nw, tp), jnp.float32),
+            jax.ShapeDtypeStruct((nh, nw, tp), jnp.int32),
+        ],
+        interpret=pallas_interpret(),
+        cost_estimate=cost,
+    )(p117p, f13p, validp)
+
+    # combine blocks lexicographically by (energy, raster flat index):
+    # identical to the conv path's first-minimum raster tie-break
+    e_flat = e_blk.reshape(nh * nw, tp)[:, :t]
+    i_flat = i_blk.reshape(nh * nw, tp)[:, :t]
+    emin = jnp.min(e_flat, axis=0)
+    idx = jnp.min(jnp.where(e_flat == emin[None, :], i_flat, _BIG_I), axis=0)
+    return emin, jnp.clip(idx, 0, n_cy * n_cx - 1)
