@@ -66,44 +66,57 @@ def _pyr_up_f(img_f: jax.Array, out_h: int, out_w: int) -> jax.Array:
 
 @jax.jit
 def _pyr_down_u8(img: jax.Array) -> jax.Array:
-    """(H, W, C) u8 → ((H+1)//2, (W+1)//2, C) u8, bit-exact cv::pyrDown."""
+    """(H, W, C) u8 → ((H+1)//2, (W+1)//2, C) u8, bit-exact cv::pyrDown.
+
+    Planar (C, H, W) compute: stencil arithmetic with the 3-wide channel
+    axis in the 128-lane dim runs at ~3% VPU utilization (the slow-HWC
+    trap, CLAUDE.md); the u8/i32 relayouts themselves are cheap."""
     h, w, _ = img.shape
     oh, ow = (h + 1) // 2, (w + 1) // 2
-    s = img.astype(jnp.int32)
+    s = img.astype(jnp.int32).transpose(2, 0, 1)       # (C, H, W)
     # BORDER_REFLECT_101 pad by 2 each side, built from slices (exact for
     # h,w ≥ 3 — caller guarantees; OpenCV requires ≥ 2 and reflect-101 of
     # a 2-row image degenerates the same way jnp's 'reflect' does)
-    s = jnp.concatenate([s[2:0:-1], s, s[h - 2 : h - 4 if h >= 4 else None : -1]], 0)
-    s = jnp.concatenate([s[:, 2:0:-1], s, s[:, w - 2 : w - 4 if w >= 4 else None : -1]], 1)
-    vert = sum(kv * s[i : i + 2 * oh - 1 : 2] for i, kv in enumerate(_K5I))
-    acc = sum(kv * vert[:, j : j + 2 * ow - 1 : 2] for j, kv in enumerate(_K5I))
-    return ((acc + 128) >> 8).astype(jnp.uint8)
+    s = jnp.concatenate(
+        [s[:, 2:0:-1], s, s[:, h - 2 : h - 4 if h >= 4 else None : -1]], 1)
+    s = jnp.concatenate(
+        [s[:, :, 2:0:-1], s, s[:, :, w - 2 : w - 4 if w >= 4 else None : -1]], 2)
+    vert = sum(kv * s[:, i : i + 2 * oh - 1 : 2] for i, kv in enumerate(_K5I))
+    acc = sum(kv * vert[:, :, j : j + 2 * ow - 1 : 2]
+              for j, kv in enumerate(_K5I))
+    return ((acc + 128) >> 8).astype(jnp.uint8).transpose(1, 2, 0)
 
 
-def _up_axis0(s: jax.Array, n: int, out_n: int) -> jax.Array:
-    """One pyrUp axis in exact int32: (n, ...) → (out_n ≤ 2n, ...).
+def _up_axis(s: jax.Array, axis: int, n: int, out_n: int) -> jax.Array:
+    """One pyrUp axis in exact int32 along ``axis``: n → out_n ≤ 2n.
 
     even rows 2t  = s[t−1] + 6·s[t] + s[t+1]   (t−1 → |t−1|, t = n → n−1)
     odd rows 2t+1 = 4·(s[t] + s[t+1])
     (the 2n-domain reflection — see module docstring)."""
-    top = s[min(1, n - 1) : min(1, n - 1) + 1]
-    bot = s[n - 1 : n]
-    ext = jnp.concatenate([top, s, bot], 0)  # ext[u+1] = s[reflected u]
-    even = ext[0:n] + 6 * ext[1 : n + 1] + ext[2 : n + 2]
-    odd = 4 * (ext[1 : n + 1] + ext[2 : n + 2])
-    inter = jnp.stack([even, odd], axis=1).reshape((2 * n,) + s.shape[1:])
-    return inter[:out_n]
+    def sl(a, lo, hi):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    top = sl(s, min(1, n - 1), min(1, n - 1) + 1)
+    bot = sl(s, n - 1, n)
+    ext = jnp.concatenate([top, s, bot], axis)  # ext[u+1] = s[reflected u]
+    even = sl(ext, 0, n) + 6 * sl(ext, 1, n + 1) + sl(ext, 2, n + 2)
+    odd = 4 * (sl(ext, 1, n + 1) + sl(ext, 2, n + 2))
+    inter = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(even.shape)
+    shape[axis] = 2 * n
+    inter = inter.reshape(shape)
+    return sl(inter, 0, out_n)
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def _pyr_up_u8(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """(H, W, C) u8 → (out_h, out_w, C) u8, bit-exact cv::pyrUp(dstsize)."""
+    """(H, W, C) u8 → (out_h, out_w, C) u8, bit-exact cv::pyrUp(dstsize).
+    Planar compute (see _pyr_down_u8)."""
     h, w, _ = img.shape
-    s = img.astype(jnp.int32)
-    v = _up_axis0(s, h, out_h)
-    acc = _up_axis0(jnp.swapaxes(v, 0, 1), w, out_w)
-    acc = jnp.swapaxes(acc, 0, 1)
-    return ((acc + 32) >> 6).astype(jnp.uint8)
+    s = img.astype(jnp.int32).transpose(2, 0, 1)       # (C, H, W)
+    v = _up_axis(s, 1, h, out_h)
+    acc = _up_axis(v, 2, w, out_w)
+    return ((acc + 32) >> 6).astype(jnp.uint8).transpose(1, 2, 0)
 
 
 def pyr_down(img) -> jax.Array:
