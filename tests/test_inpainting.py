@@ -238,3 +238,25 @@ def test_pallas_search_end_to_end_fill(monkeypatch):
         # don't leave pallas-traced executables for later conv-path tests
         M._fill_pass_device.clear_cache()
         M._energy_loops_device.clear_cache()
+
+
+def test_pallas_search_failure_parity(monkeypatch):
+    """When every candidate window touches the hole, both backends must
+    report +inf energies (the search-failure path, PARITY.md D4)."""
+    import jax.numpy as jnp
+    from various_image_processings_tpu.models import inpainting as M
+
+    h, w = 20, 20
+    img = np.full((h, w, 3), 50, np.float32)
+    rem = np.zeros((h, w), np.float32)
+    rem[9, 9] = 1.0  # any 13x13 window inside a 20x20 image contains (9,9)
+    ty = jnp.asarray(np.array([9], np.int32))
+    tx = jnp.asarray(np.array([9], np.int32))
+    tvalid = jnp.asarray(np.ones(1, bool))
+    img_j = jnp.asarray(img)
+    p117 = M._build_p117(img_j, w)
+    for impl in ("conv", "pallas"):
+        monkeypatch.setattr(M, "_search_impl", lambda impl=impl: impl)
+        e, _, _ = M._ring_targets_search(img_j, p117, jnp.asarray(rem),
+                                         ty, tx, tvalid, h, w, initial=False)
+        assert not np.isfinite(np.asarray(e)[0]), impl

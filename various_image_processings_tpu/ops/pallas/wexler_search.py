@@ -15,6 +15,14 @@ lexicographic (energy, flat index) min — order-independent and identical
 to the conv path's first-minimum raster tie-break (the reference's
 ascending y/x scan).
 
+Candidate VALIDITY (window must not touch the hole) rides the contraction:
+the 117 packed channels are padded to 128 and channel 117 carries a 1e30
+penalty at each invalid candidate's (row, col), with a matching all-ones
+filter row at ky=0 — invalid candidates surface as energies ≥ 1e29, mapped
+back to +inf outside.  Valid candidates see exact zeros there, so the
+energies are bit-identical to an unpadded contraction, and the kernel body
+is nothing but dots and min/argmin updates.
+
 Gated by ``models/inpainting.py _SEARCH_IMPL`` (env VIP_WEXLER_SEARCH),
 default "conv" until hardware-validated: bit-level energy sums can differ
 from the conv path by f32 summation order (both are exact-product bf16→f32
@@ -32,19 +40,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.pad import round_up, cdiv
+from ...core.pad import cdiv
 from .._dispatch import pallas_interpret
 
 ROW_BLK = 16    # candidate rows per block (bf16 sublane tile alignment)
 COL_BLK = 128   # candidate cols per block (lane tile)
 T_BLK = 256     # targets per block (lane dim of the per-block outputs)
+K_PAD = 128     # packed channels 117 → 128 (lane-aligned contraction)
 _BIG_I = np.int32(2**30)
+_PENALTY = np.float32(1e30)   # invalid-candidate energy (valid ≤ ~3.3e7)
 
 
 def _make_kernel(window: int, n_cx: int):
     k = window
 
-    def kernel(p_ref, f_ref, v_ref, eout_ref, iout_ref):
+    def kernel(p_ref, f_ref, eout_ref, iout_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
         # global raster flat index of candidate (row ROW_BLK·i+by, col
@@ -52,19 +62,16 @@ def _make_kernel(window: int, n_cx: int):
         base = (i * ROW_BLK) * n_cx + j * COL_BLK
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (COL_BLK, T_BLK), 0)
 
-        run_e = jnp.full((1, T_BLK), np.float32(np.inf), jnp.float32)
+        run_e = jnp.full((1, T_BLK), _PENALTY, jnp.float32)
         run_i = jnp.full((1, T_BLK), _BIG_I, jnp.int32)
         for by in range(ROW_BLK):
             acc = jnp.zeros((COL_BLK, T_BLK), jnp.float32)
             for ky in range(k):
-                a = p_ref[by + ky]          # (COL_BLK, 117) bf16
-                f = f_ref[ky]               # (117, T_BLK) bf16
+                a = p_ref[by + ky]          # (COL_BLK, K_PAD) bf16
+                f = f_ref[ky]               # (K_PAD, T_BLK) bf16
                 acc = acc + jax.lax.dot_general(
                     a, f, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            vrow = v_ref[by, :]             # (COL_BLK,) f32: 1 = valid
-            acc = jnp.where(vrow[:, None] > np.float32(0.5), acc,
-                            np.float32(np.inf))
             rmin = jnp.min(acc, axis=0, keepdims=True)          # (1, T)
             idx = jnp.where(acc == rmin, col_iota + (base + by * n_cx),
                             _BIG_I)
@@ -90,6 +97,7 @@ def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
     clamped to 0 when emin is inf).
     """
     k = window
+    kc = f13.shape[1]              # 117 packed channels
     n_cy = height - (k - 1)
     n_cx = width - (k - 1)
     t = f13.shape[2]
@@ -98,20 +106,30 @@ def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
     nt = cdiv(t, T_BLK)
     tp = nt * T_BLK
 
-    # pad: rows so every block's k-row window exists, cols to the block
-    # grid, targets to T_BLK; padded candidates carry valid=0
+    # pad rows so every block's k-row window exists, cols to the block
+    # grid, channels 117 → K_PAD with channel `kc` carrying the validity
+    # penalty (1e30 at invalid/padded candidates, exact 0 at valid ones),
+    # targets to T_BLK (padded targets see penalty-only filters)
     hp = nh * ROW_BLK + (k - 1)
-    p117p = jnp.pad(p117, [(0, hp - height), (0, nw * COL_BLK - n_cx),
-                           (0, 0)])
-    f13p = jnp.pad(f13, [(0, 0), (0, 0), (0, tp - t)])
-    validp = jnp.pad(valid.astype(jnp.float32),
-                     [(0, nh * ROW_BLK - n_cy), (0, nw * COL_BLK - n_cx)])
+    wp = nw * COL_BLK
+    p117p = jnp.pad(p117, [(0, hp - height), (0, wp - n_cx),
+                           (0, K_PAD - kc)])
+    penalty = jnp.full((hp, wp), _PENALTY, jnp.bfloat16)
+    penalty = jax.lax.dynamic_update_slice(
+        penalty,
+        jnp.where(valid, jnp.bfloat16(0.0), jnp.bfloat16(_PENALTY)),
+        (0, 0))
+    p117p = p117p.at[:, :, kc].set(penalty)
+    f13p = jnp.pad(f13, [(0, 0), (0, K_PAD - kc), (0, tp - t)])
+    # the ky=0 filter row of the penalty channel is 1 for every target, so
+    # each candidate accumulates its own (row, col) penalty exactly once
+    f13p = f13p.at[0, kc, :].set(jnp.bfloat16(1.0))
 
     grid = (nt, nh, nw)
     blk_rows = ROW_BLK + (k - 1)
     cost = pl.CostEstimate(
-        flops=2 * k * p117.shape[2] * tp * nh * ROW_BLK * nw * COL_BLK,
-        bytes_accessed=(nt * hp * nw * COL_BLK * p117.shape[2] * 2
+        flops=2 * k * K_PAD * tp * nh * ROW_BLK * nw * COL_BLK,
+        bytes_accessed=(nt * hp * wp * K_PAD * 2
                         + nt * nh * nw * T_BLK * 8),
         transcendentals=0,
     )
@@ -120,13 +138,11 @@ def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
         grid=grid,
         in_specs=[
             pl.BlockSpec((pl.Element(blk_rows), pl.Element(COL_BLK),
-                          pl.Element(p117.shape[2])),
+                          pl.Element(K_PAD)),
                          lambda tb, i, j: (i * ROW_BLK, j * COL_BLK, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, f13.shape[1], T_BLK),
+            pl.BlockSpec((k, K_PAD, T_BLK),
                          lambda tb, i, j: (0, 0, tb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLK, COL_BLK), lambda tb, i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -141,12 +157,14 @@ def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
         ],
         interpret=pallas_interpret(),
         cost_estimate=cost,
-    )(p117p, f13p, validp)
+    )(p117p, f13p)
 
     # combine blocks lexicographically by (energy, raster flat index):
-    # identical to the conv path's first-minimum raster tie-break
+    # identical to the conv path's first-minimum raster tie-break.
+    # Energies ≥ 1e29 are penalty hits (no valid candidate) → +inf.
     e_flat = e_blk.reshape(nh * nw, tp)[:, :t]
     i_flat = i_blk.reshape(nh * nw, tp)[:, :t]
     emin = jnp.min(e_flat, axis=0)
     idx = jnp.min(jnp.where(e_flat == emin[None, :], i_flat, _BIG_I), axis=0)
+    emin = jnp.where(emin >= np.float32(1e29), jnp.float32(np.inf), emin)
     return emin, jnp.clip(idx, 0, n_cy * n_cx - 1)
