@@ -72,6 +72,21 @@ def main() -> int:
                 f"max center drift {slic.last_max_drift_cells:.1f} cells "
                 f"(bound 2); {nseg} segments")
 
+    # u8 pyramid: the round-4 integer twins must stay BIT-EXACT vs cv2 on
+    # the real chip (pure int32 adds/shifts — any divergence is a compiler
+    # or layout bug, not a numerics tolerance)
+    from various_image_processings_tpu.ops.pyramid import pyr_down, pyr_up
+    down = np.asarray(pyr_down(lenna))
+    up = np.asarray(pyr_up(down, lenna.shape[:2]))
+    d_down = int(np.abs(down.astype(int)
+                        - cv2.pyrDown(lenna).astype(int)).max())
+    d_up = int(np.abs(up.astype(int)
+                      - cv2.pyrUp(cv2.pyrDown(lenna),
+                                  dstsize=(lenna.shape[1],
+                                           lenna.shape[0])).astype(int)).max())
+    ok &= check("pyramid_512", d_down == 0 and d_up == 0,
+                f"pyrDown max {d_down}, pyrUp max {d_up} (bound 0)")
+
     out = np.asarray(vip.bilateral_texture_filter(cat, 9, 3))
     g = golden.bilateral_texture_filter(cat, 9, 3)
     d = np.abs(out.astype(int) - g.astype(int))

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 hardware evidence chain (VERDICT item 1).  Run as ONE command the
+# moment the axon tunnel is up; each stage is a separate python process so
+# only one TPU client exists at a time.  Logs to /tmp/evidence/*.log.
+#
+#   bash benchmarks/run_evidence_chain.sh
+#
+# Order matters: parity/validation first (cheap, catches Mosaic rejections
+# early), the long full matrix afterwards, headline bench last.
+set -u
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export VIP_ROUND=04
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/evidence
+overall=0
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  /usr/bin/time -v timeout 3000 "$@" >/tmp/evidence/$name.log 2>&1
+  rc=$?
+  echo "--- $name rc=$rc (tail) ---"
+  tail -25 /tmp/evidence/$name.log
+  if [ $rc -ne 0 ]; then overall=1; fi
+}
+run abf        python benchmarks/revalidate_abf.py
+run hwparity   python benchmarks/hw_parity.py
+run wexsearch  python benchmarks/validate_wexler_search.py
+run matrix     python benchmarks/baseline_configs.py
+run bench      python bench.py
+echo "=== evidence chain overall rc=$overall ==="
+exit $overall
