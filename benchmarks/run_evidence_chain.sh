@@ -16,7 +16,7 @@ overall=0
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  /usr/bin/time -v timeout 3000 "$@" >/tmp/evidence/$name.log 2>&1
+  timeout 3000 "$@" >/tmp/evidence/$name.log 2>&1
   rc=$?
   echo "--- $name rc=$rc (tail) ---"
   tail -25 /tmp/evidence/$name.log
