@@ -1,0 +1,208 @@
+"""Extended randomized parity fuzz: golden vs the COMPILED reference, and
+the xla device paths (CPU backend) vs golden, across the full parameter
+space — shapes, ksize, sigmas — far beyond the pinned suite cases.
+
+Built for idle-CPU background use while the TPU tunnel is down:
+- exits as soon as /tmp/tpu_status.txt reports UP (so it can never contend
+  with a hardware measurement), or after --hours, or after 5 failures;
+- every case is reproducible from the printed (case, seed);
+- failures dump a .npz repro to /tmp/fuzz_failures/.
+
+Envelopes (same as the pinned oracle tests, tests/test_reference_oracle.py):
+bilateral/joint/abf golden-vs-ref max ≤1 u8 (compiler FMA contraction);
+gradient & integral golden-vs-ref exact; xla-vs-golden ≤1 u8 except the ABF
+small-σc subnormal band (≤8, PARITY.md D2b).
+
+Run: python benchmarks/fuzz_campaign.py [--hours H]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import warnings
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from various_image_processings_tpu import golden  # noqa: E402
+
+REF_INCLUDE = "/root/reference/include"
+TOOL = os.path.join(os.path.dirname(__file__), "..", "tests", "tools",
+                    "ref_oracle.cpp")
+FAIL_DIR = "/tmp/fuzz_failures"
+
+
+def build_oracle():
+    exe = os.path.join(tempfile.gettempdir(), "vip_ref_oracle")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(TOOL):
+        cmd = ["g++", "-O2", "-std=c++20", "-w", f"-I{REF_INCLUDE}",
+               "-I/usr/include/opencv4", TOOL, "-o", exe,
+               "-lopencv_core", "-lopencv_imgproc", "-lopencv_ximgproc"]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    return exe
+
+
+def run_oracle(exe, op, data, h, w, out_bytes, *args):
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.bin")
+        outp = os.path.join(td, "out.bin")
+        np.ascontiguousarray(data).tofile(inp)
+        subprocess.run([exe, op, inp, str(h), str(w), outp]
+                       + [str(a) for a in args],
+                       check=True, capture_output=True, timeout=300)
+        raw = np.fromfile(outp, np.uint8)
+        assert raw.size == out_bytes, (raw.size, out_bytes)
+        return raw
+
+
+def tunnel_up():
+    try:
+        with open("/tmp/tpu_status.txt") as f:
+            return "UP" in f.read()
+    except OSError:
+        return False
+
+
+def u8diff(a, b):
+    return np.abs(np.asarray(a).astype(np.int64)
+                  - np.asarray(b).astype(np.int64))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours", type=float, default=12.0)
+    ap.add_argument("--base-seed", type=int, default=40000)
+    args = ap.parse_args()
+
+    from various_image_processings_tpu.ops.adaptive_bilateral import (
+        adaptive_bilateral_filter)
+    from various_image_processings_tpu.ops.bilateral import (
+        bilateral_filter, joint_bilateral_filter)
+    from various_image_processings_tpu.ops.gradient import gradient
+    from various_image_processings_tpu.ops.integral_image import window_sums
+
+    exe = build_oracle()
+    os.makedirs(FAIL_DIR, exist_ok=True)
+    deadline = time.time() + args.hours * 3600
+    fails = 0
+    counts = {}
+    case = 0
+
+    # Bound unique jit signatures: shapes from a fixed pool (sigmas/radius
+    # are static argnames too, so quantize them to a modest lattice).
+    shape_pool = [(8, 8), (17, 23), (32, 32), (31, 64), (50, 50), (40, 13),
+                  (64, 31), (24, 57), (9, 61), (48, 48)]
+    ksizes = [3, 5, 7, 9, 11, 13, 15]
+    ss_pool = np.round(np.geomspace(0.3, 60.0, 13), 2)
+    sc_pool = np.round(np.geomspace(0.5, 250.0, 17), 2)
+
+    while time.time() < deadline and fails < 5:
+        if tunnel_up():
+            print("tunnel UP — fuzz standing down", flush=True)
+            break
+        case += 1
+        rng = np.random.default_rng(args.base_seed + case)
+        h, w = shape_pool[rng.integers(len(shape_pool))]
+        op = ["bilateral", "joint", "abf", "gradient", "gradient1",
+              "integral"][rng.integers(6)]
+        counts[op] = counts.get(op, 0) + 1
+        src = rng.integers(0, 256, (h, w, 3), np.uint8)
+        k = int(ksizes[rng.integers(len(ksizes))])
+        ss = float(ss_pool[rng.integers(len(ss_pool))])
+        sc = float(sc_pool[rng.integers(len(sc_pool))])
+        params = dict(op=op, case=case, h=h, w=w, k=k, ss=ss, sc=sc)
+        bad = []
+        try:
+            if op == "bilateral":
+                ref = run_oracle(exe, op, src, h, w, h * w * 3,
+                                 k, ss, sc).reshape(h, w, 3)
+                g = golden.bilateral_filter(src, k, ss, sc)
+                x = bilateral_filter(src, k, ss, sc, impl="xla")
+                if u8diff(g, ref).max() > 1:
+                    bad.append(("golden-vs-ref", int(u8diff(g, ref).max())))
+                if u8diff(x, g).max() > 1:
+                    bad.append(("xla-vs-golden", int(u8diff(x, g).max())))
+            elif op == "joint":
+                guide = rng.integers(0, 256, (h, w, 3), np.uint8)
+                both = np.concatenate([src.reshape(-1), guide.reshape(-1)])
+                ref = run_oracle(exe, op, both, h, w, h * w * 3,
+                                 k, ss, sc).reshape(h, w, 3)
+                g = golden.joint_bilateral_filter(src, guide, k, ss, sc)
+                x = joint_bilateral_filter(src, guide, k, ss, sc, impl="xla")
+                if u8diff(g, ref).max() > 1:
+                    bad.append(("golden-vs-ref", int(u8diff(g, ref).max())))
+                if u8diff(x, g).max() > 1:
+                    bad.append(("xla-vs-golden", int(u8diff(x, g).max())))
+            elif op == "abf":
+                ref = run_oracle(exe, op, src, h, w, h * w * 3,
+                                 k, ss, sc).reshape(h, w, 3)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")  # reference 0/0 pixels
+                    g = golden.adaptive_bilateral_filter(src, k, ss, sc)
+                x = adaptive_bilateral_filter(src, k, ss, sc, impl="xla")
+                if u8diff(g, ref).max() > 1:
+                    bad.append(("golden-vs-ref", int(u8diff(g, ref).max())))
+                # D2b: small σc can put whole windows in the subnormal band
+                xbound = 8 if sc < 32.0 else 1
+                if u8diff(x, g).max() > xbound:
+                    bad.append(("xla-vs-golden", int(u8diff(x, g).max())))
+            elif op in ("gradient", "gradient1"):
+                s = src if op == "gradient" else src[:, :, 0]
+                ref = run_oracle(exe, op, s, h, w, h * w * 4).view(
+                    np.float32).reshape(h, w)
+                g = golden.gradient(s)
+                x = np.asarray(gradient(s, impl="xla"))
+                if not np.array_equal(g, ref):
+                    bad.append(("golden-vs-ref",
+                                float(np.abs(g - ref).max())))
+                if not np.allclose(x, g, rtol=1e-6, atol=1e-4):
+                    bad.append(("xla-vs-golden",
+                                float(np.abs(x - g).max())))
+            elif op == "integral":
+                r = int(rng.integers(1, 8))
+                params["r"] = r
+                ref = run_oracle(exe, op, src, h, w, h * w * 3 * 4, r).view(
+                    np.int32).reshape(h, w, 3)
+                from various_image_processings_tpu.golden.integral_image import (
+                    BorderReplicatedIntegralImage)
+                g = BorderReplicatedIntegralImage(src, r).window_sums(r)
+                x = np.asarray(window_sums(src, r))
+                if not np.array_equal(g, ref):
+                    bad.append(("golden-vs-ref",
+                                int(np.abs(g - ref).max())))
+                if not np.array_equal(x, g):
+                    bad.append(("xla-vs-golden",
+                                int(np.abs(x.astype(np.int64)
+                                           - g.astype(np.int64)).max())))
+        except subprocess.CalledProcessError as e:
+            bad.append(("oracle-crash", e.returncode))
+        except Exception as e:  # repro saved below; keep fuzzing
+            bad.append(("exception", f"{type(e).__name__}: {e}"))
+
+        if bad:
+            fails += 1
+            path = os.path.join(FAIL_DIR, f"case{case}.npz")
+            np.savez(path, src=src, **{k2: np.asarray(v)
+                                       for k2, v in params.items()
+                                       if isinstance(v, (int, float))})
+            print(f"FAIL {params} -> {bad}  repro={path}", flush=True)
+        if case % 100 == 0:
+            print(f"[{time.strftime('%H:%M:%S')}] {case} cases, "
+                  f"{fails} failures, mix={counts}", flush=True)
+
+    print(f"DONE: {case} cases, {fails} failures, mix={counts}", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
