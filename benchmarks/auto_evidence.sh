@@ -2,11 +2,21 @@
 # Unattended trigger for the round-4 hardware evidence chain: wait for the
 # tunnel watcher to report UP (/tmp/tpu_status.txt), wait for any running
 # pytest to finish (CPU contention corrupts TPU timings — CLAUDE.md), then
-# run run_evidence_chain.sh exactly once.  Lock file prevents double runs.
+# run run_evidence_chain.sh.  On failure (tunnel flap mid-chain) the
+# watcher is restarted and the chain retries, up to 5 attempts.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/evidence
 LOCK=/tmp/evidence/chain.lock
+attempts=0
+
+# never run two watchers at once: concurrent TPU probe clients can deadlock
+rearm_watcher() {
+  old=$(cat /tmp/tunnel_watch.pid 2>/dev/null)
+  if [ -n "${old:-}" ]; then kill "$old" 2>/dev/null; fi
+  nohup bash benchmarks/tunnel_watch.sh >> /tmp/tunnel_watch.log 2>&1 &
+  echo $! > /tmp/tunnel_watch.pid
+}
 while true; do
   if grep -q UP /tmp/tpu_status.txt 2>/dev/null; then
     # don't start while the CPU test suite is running on this 1-vCPU box
@@ -14,12 +24,30 @@ while true; do
       sleep 60
       continue
     fi
+    # the status file can be stale (the watcher exits after its first UP):
+    # re-probe before committing to a multi-hour chain run
+    if ! timeout 120 env JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python -c "
+import jax; d = jax.devices(); assert d and d[0].platform == 'tpu', d
+" >/dev/null 2>&1; then
+      echo "DOWN reprobe" > /tmp/tpu_status.txt
+      rearm_watcher
+      sleep 240
+      continue
+    fi
     if mkdir "$LOCK" 2>/dev/null; then
-      echo "chain starting $(date +%H:%M:%S)" > /tmp/evidence/chain_status.txt
-      bash benchmarks/run_evidence_chain.sh > /tmp/evidence/chain.log 2>&1
+      attempts=$((attempts + 1))
+      echo "chain attempt $attempts starting $(date +%H:%M:%S)" > /tmp/evidence/chain_status.txt
+      bash benchmarks/run_evidence_chain.sh > /tmp/evidence/chain_attempt$attempts.log 2>&1
       rc=$?
-      echo "chain done rc=$rc $(date +%H:%M:%S)" > /tmp/evidence/chain_status.txt
-      exit $rc
+      echo "chain attempt $attempts done rc=$rc $(date +%H:%M:%S)" > /tmp/evidence/chain_status.txt
+      if [ $rc -eq 0 ] || [ $attempts -ge 5 ]; then
+        exit $rc
+      fi
+      # failed — likely a tunnel flap: re-arm the watcher and retry
+      rmdir "$LOCK"
+      echo "DOWN rearm" > /tmp/tpu_status.txt
+      rearm_watcher
+      sleep 300
     else
       exit 0   # another instance already ran / is running
     fi

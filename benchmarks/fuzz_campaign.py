@@ -43,12 +43,17 @@ FAIL_DIR = "/tmp/fuzz_failures"
 
 
 def build_oracle():
-    exe = os.path.join(tempfile.gettempdir(), "vip_ref_oracle")
+    # own path (not the pytest fixture's /tmp/vip_ref_oracle) + atomic
+    # rename: this runs in the background concurrently with pytest, and two
+    # processes g++ -o'ing the same binary race (ETXTBSY / half-written exe)
+    exe = os.path.join(tempfile.gettempdir(), "vip_ref_oracle_fuzz")
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(TOOL):
+        tmp = exe + f".build{os.getpid()}"
         cmd = ["g++", "-O2", "-std=c++20", "-w", f"-I{REF_INCLUDE}",
-               "-I/usr/include/opencv4", TOOL, "-o", exe,
+               "-I/usr/include/opencv4", TOOL, "-o", tmp,
                "-lopencv_core", "-lopencv_imgproc", "-lopencv_ximgproc"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, exe)
     return exe
 
 

@@ -14,18 +14,20 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/evidence
 overall=0
 run() {
-  name=$1; shift
+  name=$1; tmo=$2; shift 2
   echo "=== $name: $* ==="
-  timeout 3000 "$@" >/tmp/evidence/$name.log 2>&1
+  # generous per-stage timeouts: killing a TPU client mid-compile wedges
+  # the remote compiler ~20 min (CLAUDE.md) — only true hangs may die
+  timeout "$tmo" "$@" >/tmp/evidence/$name.log 2>&1
   rc=$?
   echo "--- $name rc=$rc (tail) ---"
   tail -25 /tmp/evidence/$name.log
   if [ $rc -ne 0 ]; then overall=1; fi
 }
-run abf        python benchmarks/revalidate_abf.py
-run hwparity   python benchmarks/hw_parity.py
-run wexsearch  python benchmarks/validate_wexler_search.py
-run matrix     python benchmarks/baseline_configs.py
-run bench      python bench.py
+run abf        3000 python benchmarks/revalidate_abf.py
+run hwparity   3600 python benchmarks/hw_parity.py
+run wexsearch  3600 python benchmarks/validate_wexler_search.py
+run matrix     7200 python benchmarks/baseline_configs.py
+run bench      1800 python bench.py
 echo "=== evidence chain overall rc=$overall ==="
 exit $overall

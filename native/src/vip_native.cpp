@@ -352,8 +352,9 @@ int vip_slic_connectivity(const int32_t* labels, const uint8_t* lab,
         if (remap[root] < 0) remap[root] = ncomp++;
         comp_of_run[r] = remap[root];
     }
-    // sums layout matches vip_component_sums: (x, y, c0, c1, c2, count)
-    std::vector<int64_t> sums(static_cast<size_t>(ncomp) * 6, 0);
+    // per-component (c0, c1, c2, count) — the merge needs only Lab means
+    // and sizes (unlike vip_component_sums, which also returns centroids)
+    std::vector<int64_t> sums(static_cast<size_t>(ncomp) * 4, 0);
     std::vector<std::pair<int32_t, int32_t>> edges;  // undirected, once each
     edges.reserve(static_cast<size_t>(nrun) * 2);
     for (int y = 0; y < h; y++) {
@@ -362,15 +363,12 @@ int vip_slic_connectivity(const int32_t* labels, const uint8_t* lab,
         for (int32_t r = row_start[y]; r < row_start[y + 1]; r++) {
             const Run& run = runs[r];
             const int32_t c = comp_of_run[r];
-            int64_t* s = sums.data() + static_cast<int64_t>(c) * 6;
+            int64_t* s = sums.data() + static_cast<int64_t>(c) * 4;
             const int64_t len = run.x1 - run.x0;
-            // x-sum of [x0, x1): arithmetic series; y-sum: y * len
-            s[0] += (static_cast<int64_t>(run.x0 + run.x1 - 1) * len) / 2;
-            s[1] += static_cast<int64_t>(run.row) * len;
-            s[2] += rsum[3 * static_cast<size_t>(r)];
-            s[3] += rsum[3 * static_cast<size_t>(r) + 1];
-            s[4] += rsum[3 * static_cast<size_t>(r) + 2];
-            s[5] += len;
+            s[0] += rsum[3 * static_cast<size_t>(r)];
+            s[1] += rsum[3 * static_cast<size_t>(r) + 1];
+            s[2] += rsum[3 * static_cast<size_t>(r) + 2];
+            s[3] += len;
             if (r + 1 < row_start[y + 1])          // horizontal neighbour
                 edges.emplace_back(c, comp_of_run[r + 1]);
             while (up < up_end && runs[up].x1 <= run.x0) up++;
@@ -408,10 +406,10 @@ int vip_slic_connectivity(const int32_t* labels, const uint8_t* lab,
     // otherwise run per candidate comparison)
     std::vector<int32_t> mean3(static_cast<size_t>(ncomp) * 3);
     for (int32_t c = 0; c < ncomp; c++) {
-        const int64_t* s = sums.data() + static_cast<int64_t>(c) * 6;
-        mean3[3 * static_cast<size_t>(c)] = static_cast<int32_t>(s[2] / s[5]);
-        mean3[3 * static_cast<size_t>(c) + 1] = static_cast<int32_t>(s[3] / s[5]);
-        mean3[3 * static_cast<size_t>(c) + 2] = static_cast<int32_t>(s[4] / s[5]);
+        const int64_t* s = sums.data() + static_cast<int64_t>(c) * 4;
+        mean3[3 * static_cast<size_t>(c)] = static_cast<int32_t>(s[0] / s[3]);
+        mean3[3 * static_cast<size_t>(c) + 1] = static_cast<int32_t>(s[1] / s[3]);
+        mean3[3 * static_cast<size_t>(c) + 2] = static_cast<int32_t>(s[2] / s[3]);
     }
     auto color_dist = [&](int32_t c1, int32_t c2) {
         const int32_t* m1 = mean3.data() + 3 * static_cast<size_t>(c1);
@@ -425,7 +423,7 @@ int vip_slic_connectivity(const int32_t* labels, const uint8_t* lab,
     std::vector<int32_t> cand;
     for (int32_t c = 0; c < ncomp; c++) {
         const int32_t cur = mfind(c);
-        if (sums[static_cast<int64_t>(cur) * 6 + 5] >= min_area) continue;
+        if (sums[static_cast<int64_t>(cur) * 4 + 3] >= min_area) continue;
         cand.clear();
         for (int32_t m = cur; m != -1; m = chain_next[m])
             for (int32_t k = off[m]; k < off[m + 1]; k++) {

@@ -43,6 +43,36 @@ def test_pyr_up_odd_dst_bit_exact(shape):
         np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.parametrize("shape", [(13, 9), (8, 11), (3, 3)])
+def test_pyr_up_odd_larger_dst_bit_exact(shape):
+    """cv::pyrUp's other legal odd dst: 2n+1 (|dst − 2·src| == dst%2).
+    OpenCV's extra trailing line duplicates row 2n−2 but col 2n−1 (the
+    separable row-then-column asymmetry — see ops/pyramid.py _up_axis)."""
+    h, w = shape
+    src = random_image(h, w)
+    for oh, ow in [(2 * h + 1, 2 * w), (2 * h, 2 * w + 1),
+                   (2 * h + 1, 2 * w + 1), (2 * h - 1, 2 * w + 1),
+                   (2 * h + 1, 2 * w - 1)]:
+        ours = np.asarray(pyr_up(src, out_shape=(oh, ow)))
+        ref = cv2.pyrUp(src, dstsize=(ow, oh))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_pyr_up_odd_larger_dst_float():
+    src = (np.random.RandomState(3).rand(9, 7, 3) * 255).astype(np.float32)
+    for oh, ow in [(19, 14), (18, 15), (19, 15)]:
+        ours = np.asarray(pyr_up(src, out_shape=(oh, ow)))
+        ref = cv2.pyrUp(src, dstsize=(ow, oh))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_pyr_up_dst_beyond_legal_range_raises():
+    src = random_image(8, 8)
+    with pytest.raises(ValueError, match="legal range"):
+        pyr_up(src, out_shape=(18, 16))
+
+
 def test_pyr_roundtrip_fuzz_bit_exact():
     rng = np.random.RandomState(42)
     for _ in range(6):

@@ -554,7 +554,10 @@ class SuperpixelSLIC:
             jnp.asarray(lab), self.height, self.width,
             self.superpixel_size, self.num_iteration,
             float(self.color_scale), self.metric)
-        self.last_max_drift_cells = float(drift)
+        # ONE device→host round-trip for both outputs: a separate
+        # float(drift) sync would pay the tunnel RTT (~80 ms) twice
+        labels, drift_v = jax.device_get((labels, drift))
+        self.last_max_drift_cells = float(drift_v)
         if self.last_max_drift_cells > 2.0:
             import warnings
             warnings.warn(

@@ -60,8 +60,13 @@ def _pyr_up_f(img_f: jax.Array, out_h: int, out_w: int) -> jax.Array:
     h, w, c = img_f.shape
     up = jnp.zeros((2 * h, 2 * w, c), img_f.dtype)
     up = up.at[::2, ::2].set(img_f)
-    up = _sep_blur(up, _K5 * 2.0)[:out_h, :out_w]
-    return up
+    up = _sep_blur(up, _K5 * 2.0)
+    # odd-larger dst: same duplicated trailing lines as the u8 path
+    # (row 2h−2 / col 2w−1 — see _up_axis); verified vs cv2's float path
+    row = up[2 * h - 2 : 2 * h - 1] if out_h == 2 * h + 1 else None
+    up = jnp.concatenate([up, row], 0) if row is not None else up[:out_h]
+    col = up[:, 2 * w - 1 : 2 * w] if out_w == 2 * w + 1 else None
+    return jnp.concatenate([up, col], 1) if col is not None else up[:, :out_w]
 
 
 @jax.jit
@@ -88,11 +93,17 @@ def _pyr_down_u8(img: jax.Array) -> jax.Array:
 
 
 def _up_axis(s: jax.Array, axis: int, n: int, out_n: int) -> jax.Array:
-    """One pyrUp axis in exact int32 along ``axis``: n → out_n ≤ 2n.
+    """One pyrUp axis in exact int32 along ``axis``: n → out_n ≤ 2n+1.
 
     even rows 2t  = s[t−1] + 6·s[t] + s[t+1]   (t−1 → |t−1|, t = n → n−1)
     odd rows 2t+1 = 4·(s[t] + s[t+1])
-    (the 2n-domain reflection — see module docstring)."""
+    (the 2n-domain reflection — see module docstring).
+
+    cv::pyrUp also allows the odd-LARGER dst size 2n+1; its extra trailing
+    line duplicates line 2n−2 on the first (vertical) axis but line 2n−1
+    on the second (horizontal) axis — an asymmetry of OpenCV's separable
+    row-then-column implementation, established by fuzzing vs cv2 across
+    shapes and every legal odd/even dst combination."""
     def sl(a, lo, hi):
         return jax.lax.slice_in_dim(a, lo, hi, axis=axis)
 
@@ -105,6 +116,9 @@ def _up_axis(s: jax.Array, axis: int, n: int, out_n: int) -> jax.Array:
     shape = list(even.shape)
     shape[axis] = 2 * n
     inter = inter.reshape(shape)
+    if out_n == 2 * n + 1:
+        dup = 2 * n - 2 if axis == 1 else 2 * n - 1
+        return jnp.concatenate([inter, sl(inter, dup, dup + 1)], axis)
     return sl(inter, 0, out_n)
 
 
@@ -148,6 +162,10 @@ def pyr_up(img, out_shape=None) -> jax.Array:
         img = img[:, :, None]
     h, w, _ = img.shape
     out_h, out_w = out_shape if out_shape is not None else (2 * h, 2 * w)
+    if out_h > 2 * h + 1 or out_w > 2 * w + 1:
+        raise ValueError(
+            f"pyr_up dst ({out_h}, {out_w}) exceeds (2H+1, 2W+1) for "
+            f"source ({h}, {w}) — beyond cv::pyrUp's legal range")
     if img.dtype == jnp.uint8:
         out = _pyr_up_u8(img, out_h, out_w)
     else:

@@ -39,6 +39,23 @@ def _cached_generic_runner(fn, mesh: Mesh, ndim: int):
 # gets warned instead of silently paying a compile per invocation
 _RUNNER_MISSES_BY_CODE: dict = {}
 _CHURN_WARN_AT = 3
+_CHURN_KEYS_CAP = 1024   # heuristic table only — never let it grow unbounded
+
+
+def _churn_key(fn):
+    """Stable, non-pinning identity for the churn heuristic: unwrap
+    functools.partial chains and bound methods down to the code object, so
+    fresh partials over the same function share one counter (and the
+    partial itself — plus anything it captured — is never held as a key).
+    Objects without code (e.g. C callables) key by type qualname."""
+    seen = fn
+    while isinstance(seen, functools.partial):
+        seen = seen.func
+    seen = getattr(seen, "__func__", seen)
+    code = getattr(seen, "__code__", None)
+    if code is not None:
+        return code
+    return (type(seen).__module__, type(seen).__qualname__)
 
 
 def batched_apply(fn, images, mesh: Mesh):
@@ -72,7 +89,9 @@ def batched_apply(fn, images, mesh: Mesh):
     misses_before = _cached_generic_runner.cache_info().misses
     run = _cached_generic_runner(fn, mesh, images.ndim)
     if _cached_generic_runner.cache_info().misses > misses_before:
-        code = getattr(fn, "__code__", fn)
+        if len(_RUNNER_MISSES_BY_CODE) > _CHURN_KEYS_CAP:
+            _RUNNER_MISSES_BY_CODE.clear()
+        code = _churn_key(fn)
         n = _RUNNER_MISSES_BY_CODE[code] = _RUNNER_MISSES_BY_CODE.get(code, 0) + 1
         if n == _CHURN_WARN_AT:
             import warnings
@@ -240,8 +259,9 @@ def superpixel_slic_batched(images, superpixel_size: int = 30,
                                  int(num_iteration), float(color_scale),
                                  metric, mesh_key)
     labels_dev, drift_dev = runner(jnp.asarray(lab))
-    labels_np = np.asarray(labels_dev)
-    max_drift = float(np.asarray(drift_dev).max())
+    # one device→host round-trip for both outputs (tunnel RTT ~80 ms each)
+    labels_np, drift_np = jax.device_get((labels_dev, drift_dev))
+    max_drift = float(drift_np.max())
     if max_drift > 2.0:
         import warnings
         warnings.warn(

@@ -51,8 +51,14 @@ def _lib():
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "vip_bgr2lab_u8"):  # stale build without new entry points
-        return None
+    # a stale build (older sources but newer mtime, e.g. a restored build
+    # dir) can lack any of the newer entry points — verify every symbol
+    # before assigning signatures, or the AttributeError below would break
+    # all native paths instead of falling back to Python
+    for sym in ("vip_ccl_4conn", "vip_trace_contour", "vip_component_sums",
+                "vip_bgr2lab_u8", "vip_slic_merge", "vip_slic_connectivity"):
+        if not hasattr(lib, sym):
+            return None
     lib.vip_ccl_4conn.restype = ctypes.c_int
     lib.vip_ccl_4conn.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
