@@ -11,7 +11,7 @@ Built for idle-CPU background use while the TPU tunnel is down:
 Envelopes (same as the pinned oracle tests, tests/test_reference_oracle.py):
 bilateral/joint/abf golden-vs-ref max ≤1 u8 (compiler FMA contraction);
 gradient & integral golden-vs-ref exact; xla-vs-golden ≤1 u8 except the ABF
-small-σc subnormal band (≤8, PARITY.md D2b).
+small-σc subnormal band (round 4: bit-exact twin, ≤1; PARITY.md D2b).
 
 Run: python benchmarks/fuzz_campaign.py [--hours H]
 """
@@ -95,6 +95,8 @@ def main():
         bilateral_filter, joint_bilateral_filter)
     from various_image_processings_tpu.ops.gradient import gradient
     from various_image_processings_tpu.ops.integral_image import window_sums
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        bilateral_texture_filter)
 
     exe = build_oracle()
     os.makedirs(FAIL_DIR, exist_ok=True)
@@ -119,7 +121,7 @@ def main():
         rng = np.random.default_rng(args.base_seed + case)
         h, w = shape_pool[rng.integers(len(shape_pool))]
         op = ["bilateral", "joint", "abf", "gradient", "gradient1",
-              "integral"][rng.integers(6)]
+              "integral", "btf"][rng.integers(7)]
         counts[op] = counts.get(op, 0) + 1
         src = rng.integers(0, 256, (h, w, 3), np.uint8)
         k = int(ksizes[rng.integers(len(ksizes))])
@@ -157,8 +159,10 @@ def main():
                 x = adaptive_bilateral_filter(src, k, ss, sc, impl="xla")
                 if u8diff(g, ref).max() > 1:
                     bad.append(("golden-vs-ref", int(u8diff(g, ref).max())))
-                # D2b: small σc can put whole windows in the subnormal band
-                xbound = 8 if sc < 32.0 else 1
+                # round-4 bit-exact twin (PARITY.md D2/D2b): xla-vs-golden
+                # measures 0 on every prior failure case; allow 1 for
+                # residual exp2 near-tie quantum flips
+                xbound = 1
                 if u8diff(x, g).max() > xbound:
                     bad.append(("xla-vs-golden", int(u8diff(x, g).max())))
             elif op in ("gradient", "gradient1"):
@@ -189,6 +193,19 @@ def main():
                     bad.append(("xla-vs-golden",
                                 int(np.abs(x.astype(np.int64)
                                            - g.astype(np.int64)).max())))
+            elif op == "btf":
+                # full cpp pipeline (incl. ximgproc JBF final stage) vs the
+                # compiled reference; bit-exact on lenna 128² (PARITY.md D1)
+                # — allow 1 for untested σ/size corners, flag beyond.
+                kb = int([3, 5, 7, 9][rng.integers(4)])
+                nitr = int(rng.integers(1, 4))
+                params = dict(op=op, case=case, h=h, w=w, k=kb, nitr=nitr)
+                ref = run_oracle(exe, op, src, h, w, h * w * 3,
+                                 kb, nitr).reshape(h, w, 3)
+                x = bilateral_texture_filter(src, kb, nitr, impl="xla",
+                                             variant="cpp")
+                if u8diff(x, ref).max() > 1:
+                    bad.append(("xla-cpp-vs-ref", int(u8diff(x, ref).max())))
         except subprocess.CalledProcessError as e:
             bad.append(("oracle-crash", e.returncode))
         except Exception as e:  # repro saved below; keep fuzzing

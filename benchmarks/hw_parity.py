@@ -52,6 +52,83 @@ def main() -> int:
     d = np.abs(out.astype(int) - g.astype(int)).max()
     ok &= check("abf_512", d <= 1, f"max {d} (bound 1)")
 
+    # ABF index twin (PARITY.md D2): fl(box/k²) must be bit-equal to the
+    # host's IEEE-RN division for EVERY reachable box value — on the real
+    # chip, through BOTH the XLA graph and the compiled Mosaic kernel
+    # (optimization_barrier + true divide; exercises the Mosaic lowering
+    # the CPU interpret tests cannot).
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    div_ok = True
+    detail = []
+    for k in (3, 9, 15):
+        k2 = np.float32(k * k)
+        box = np.arange(0, 255 * k * k + 1, dtype=np.float32)
+        want = (box / k2).astype(np.float32)
+
+        @jax.jit
+        def xla_div(x, kk=float(k2)):
+            kb = jax.lax.optimization_barrier(jnp.float32(kk))
+            return x / kb
+
+        got = np.asarray(xla_div(jnp.asarray(box)))
+        x_eq = np.array_equal(want, got)
+
+        def kern(x_ref, o_ref, kk=k2):
+            kb = jax.lax.optimization_barrier(
+                kk * jnp.ones((1, 1), jnp.float32))
+            o_ref[...] = x_ref[...] / kb
+
+        pad = (-box.size) % 128
+        boxp = np.pad(box, (0, pad)).reshape(-1, 128)
+        got_p = np.asarray(pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct(boxp.shape, jnp.float32),
+        )(jnp.asarray(boxp))).reshape(-1)[: box.size]
+        p_eq = np.array_equal(want, got_p)
+        div_ok &= x_eq and p_eq
+        detail.append(f"k={k} xla={'ok' if x_eq else 'NE'} "
+                      f"pallas={'ok' if p_eq else 'NE'}")
+    ok &= check("abf_division_exhaustive", div_ok, "; ".join(detail))
+
+    # D2b grid rounding must survive compilation on-chip (the simplifier
+    # folds (v+C)−C → v for literal C; the kernels barrier C)
+    C = np.float32(2.0 ** -62)
+    v = np.float32(1.7e-26)
+    want_q = np.float32(np.float32(v + C) - C)
+
+    @jax.jit
+    def quant(x):
+        c = jax.lax.optimization_barrier(jnp.float32(C))
+        return (x + c) - c
+
+    got_q = np.asarray(quant(jnp.float32(v)))
+    ok &= check("abf_grid_rounding", got_q == want_q,
+                f"got {got_q:.6e} want {want_q:.6e}")
+
+    # ABF pathological-regime parity (PARITY.md D2/D2b): the round-4 fuzz
+    # failure parameter points — subnormal weight windows, index-boundary
+    # flips, subnormal space weights — must stay within a few u8 of golden
+    # on the real chip (CPU measures bit-exact; TPU exp2 near-tie quantum
+    # flips are the only allowed wiggle)
+    import warnings
+    worst = 0
+    for i, (k, ss, sc, h, w) in enumerate([(13, 1.13, 1.6, 50, 50),
+                                           (9, 38.58, 7.58, 64, 31),
+                                           (13, 6.6, 11.18, 48, 48),
+                                           (15, 0.47, 3.49, 31, 64)]):
+        img = np.random.default_rng(777 + i).integers(
+            0, 256, (h, w, 3), np.uint8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ge = golden.adaptive_bilateral_filter(img, k, ss, sc)
+        for impl in ("xla", "pallas"):
+            got = np.asarray(vip.adaptive_bilateral_filter(
+                img, k, ss, sc, impl=impl))
+            worst = max(worst, int(np.abs(got.astype(int)
+                                          - ge.astype(int)).max()))
+    ok &= check("abf_subnormal_band", worst <= 4,
+                f"worst {worst} u8 over 4 regimes × 2 impls (bound 4)")
+
     out = np.asarray(vip.gradient(lenna))
     g = golden.gradient(lenna)
     rel = np.abs(out - g) / np.maximum(np.abs(g), 1e-3)

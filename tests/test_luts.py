@@ -4,6 +4,7 @@ import numpy as np
 
 from various_image_processings_tpu.core.luts import (
     space_kernel, color_table, gauss_coeff_f32,
+    color_table_zero_index, product_zero_index,
     COLOR_TABLE_SIZE_BILATERAL, COLOR_TABLE_SIZE_ADAPTIVE,
 )
 
@@ -48,3 +49,30 @@ def test_exp_recompute_close_to_table():
         dominant = t > 1e-2
         rel = np.abs(recomputed[dominant] - t[dominant]) / t[dominant]
         assert rel.max() < 1e-6
+
+
+def test_product_zero_index_matches_f32_product():
+    # The reference's per-tap weight is the f32 product ws·table[idx]
+    # (include/cpp/adaptive_bilateral_filter.hpp:68); product_zero_index must
+    # return its exact flush-to-zero boundary for any space weight, and it
+    # can only be ≤ the table's own zero index (ws ≤ 1).
+    for sc in (1.6, 5.14, 30.0, 107.0, 250.0):
+        tab = color_table(sc, COLOR_TABLE_SIZE_ADAPTIVE)
+        for ws in (1.0, 0.37, 1.3e-3, 7.2e-7, 1.5e-20, 1.1e-38):
+            idx = product_zero_index(ws, sc, COLOR_TABLE_SIZE_ADAPTIVE)
+            prod = (np.float32(ws) * tab).astype(np.float32)
+            assert idx <= color_table_zero_index(sc, COLOR_TABLE_SIZE_ADAPTIVE)
+            if idx < COLOR_TABLE_SIZE_ADAPTIVE:
+                assert prod[idx] == np.float32(0.0), (sc, ws, idx)
+            if idx > 0:
+                assert prod[idx - 1] != np.float32(0.0), (sc, ws, idx)
+            # sharp threshold: everything past idx is zero too
+            assert not prod[idx:].any(), (sc, ws, idx)
+
+
+def test_product_zero_index_below_table_zero_for_tiny_ws():
+    # the round-4 fuzz-found class: tiny σ_space tap weights pull the
+    # boundary well below the LUT's own zero index
+    sc = 1.6
+    tab_zero = color_table_zero_index(sc, COLOR_TABLE_SIZE_ADAPTIVE)
+    assert product_zero_index(1e-30, sc, COLOR_TABLE_SIZE_ADAPTIVE) < tab_zero

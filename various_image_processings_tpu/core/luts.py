@@ -86,3 +86,25 @@ def color_table_zero_index(sigma_color: float,
     tab = color_table(sigma_color, size)
     nz = np.nonzero(tab == np.float32(0.0))[0]
     return int(nz[0]) if nz.size else size
+
+
+def product_zero_index(space_weight: float, sigma_color: float,
+                       size: int = COLOR_TABLE_SIZE_BILATERAL) -> int:
+    """First index where the f32 PRODUCT ``ws · table[i]`` is exactly 0.0.
+
+    The reference's per-tap weight is ``kernel_space * color_table[idx]``
+    evaluated in f32 (include/cpp/adaptive_bilateral_filter.hpp:68), so the
+    flush-to-zero boundary depends on the SPACE weight too: a tiny ws times
+    a subnormal table entry underflows to exact 0 several indices before the
+    table itself reaches 0.  With small σ_color/σ_space an entire adaptive-
+    bilateral window can land past this boundary — the reference then
+    divides 0/0 and casts the NaN to 0 — so a device kernel that recomputes
+    the Gaussian must use THIS per-tap index (not ``color_table_zero_index``)
+    as its hard cutoff to replicate the reference's zero-weight set exactly.
+    f32 multiplication is correctly rounded and the table is non-increasing,
+    so the product is non-increasing and first-zero is a sharp threshold.
+    """
+    tab = color_table(sigma_color, size)
+    prod = (np.float32(space_weight) * tab).astype(np.float32)
+    nz = np.nonzero(prod == np.float32(0.0))[0]
+    return int(nz[0]) if nz.size else size

@@ -10,10 +10,14 @@ plane, half the HBM traffic.  The in-tile box sum is separable (k row adds
 + k column adds instead of k² adds), exact in f32 (all intermediates are
 integers < 2²⁴).
 
-The range index uses the exact-integer formulation (see
-ops/adaptive_bilateral.py): idx = floor(Σ_c |p·k² + (box − 2c·k²)| / k²),
-with every term exactly representable in f32 and the floor-division made
-boundary-safe by a +0.5 offset — deterministic across platforms.
+The range index is a bit-exact twin of the C++ f32 sequence
+(include/cpp/adaptive_bilateral_filter.hpp:41-45, :54-56): offset =
+c − fl(box/k²) per pixel, per tap |((p−c) − offset)| L1-summed in the C++
+order and truncated.  Every op is IEEE-RN f32; the one risky op, the
+box/k² division, is exhaustively verified correctly-rounded on-chip for
+every reachable box value (benchmarks/hw_parity.py).  See
+ops/adaptive_bilateral.py for why the cheaper exact-integer index was
+abandoned (truncation-boundary flips × steep small-σ_color Gaussians).
 """
 
 from __future__ import annotations
@@ -22,8 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ...core.luts import (gauss_coeff_f32, color_table_zero_index,
-                          COLOR_TABLE_SIZE_ADAPTIVE)
+from ...core.luts import gauss_coeff_f32
 from ..bilateral import nonzero_taps
 from ._stencil import (plan_tiles, to_planar_padded, from_planar,
                        halo_in_spec, tile_out_spec, stencil_call)
@@ -53,25 +56,15 @@ def _pick_tile(n_taps: int, width: int):
     return None
 
 
-def _make_kernel(plan, taps, ksize, coeff, zero_cut):
+def _make_kernel(plan, taps, ksize, coeff):
     import numpy as np
     th, tw, r = plan.th, plan.tw, plan.radius
     # NB: np scalars, not jnp — jnp scalars become captured device constants,
     # which pallas kernels reject
     k2f = np.float32(ksize * ksize)
-    two_k2 = np.float32(2 * ksize * ksize)
-    inv_k2 = np.float32(1.0) / np.float32(ksize * ksize)
-    # +0.5 boundary guard folded into the reciprocal-multiply as an fma
-    # addend: floor(t·inv_k2 + 0.5·inv_k2) — one op instead of add+mul.
-    # Exact: t is an exact integer ≤ 510·k², the fma rounds once, and the
-    # total error ~v·2⁻²³ stays far inside the 0.5/k² boundary margin.
-    half_inv = np.float32(0.5) * inv_k2
     lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
-    # the exact-zero cutoff (D2b) costs cmp+select per tap; dist ≤ 3·510
-    # always, so a zero index past 1530 makes the cut unreachable and the
-    # two ops drop at trace time (σ_color ≳ 107)
-    MAX_DIST = 3 * 510
-    cut = np.float32(zero_cut) if zero_cut <= MAX_DIST else None
+    subn_c = np.float32(2.0 ** -62)
+    bias = np.float32(64.0)
     bh = th + 2 * r  # rows covered by the horizontal box strips
 
     def kernel(src_ref, out_ref):
@@ -89,10 +82,24 @@ def _make_kernel(plan, taps, ksize, coeff, zero_cut):
         c0 = src_ref[0, r : r + th, r : r + tw]
         c1 = src_ref[1, r : r + th, r : r + tw]
         c2 = src_ref[2, r : r + th, r : r + tw]
-        # e = box − 2c·k²  ⇒  per tap  |Δ·k² − (c·k² − box)| = |p·k² + e|
-        e0 = box(0) - c0 * two_k2
-        e1 = box(1) - c1 * two_k2
-        e2 = box(2) - c2 * two_k2
+        # Per-pixel offset c − box/k² with the C++'s f32 rounding sequence
+        # (include/cpp/adaptive_bilateral_filter.hpp:54-56).  TRUE division
+        # only — correctly-rounded div is load-bearing twice here:
+        # reciprocal-multiply flips u8 parity (CLAUDE.md), and the index
+        # twin below needs fl(box/k²) bit-equal to the host's (verified
+        # exhaustively for every reachable box on-chip, hw_parity.py).
+        # The optimization_barrier keeps k² opaque so the compiler cannot
+        # strength-reduce the divide into a reciprocal-multiply (it does
+        # for literal divisors, measured 1-ulp-off on XLA-CPU interpret).
+        # the barrier also protects the subnormal-grid add-subtract pairs
+        # below: the compiler folds (v + C) − C → v for literal C (measured
+        # on XLA-CPU), which would silently delete the grid rounding
+        kb, subn_cb, subn_cb128 = jax.lax.optimization_barrier(
+            (k2f * jnp.ones((1, 1), jnp.float32), jnp.float32(subn_c),
+             jnp.float32(4.0)))
+        o0 = c0 - box(0) / kb
+        o1 = c1 - box(1) / kb
+        o2 = c2 - box(2) / kb
 
         a0 = jnp.zeros((th, tw), jnp.float32)
         a1 = jnp.zeros((th, tw), jnp.float32)
@@ -102,32 +109,52 @@ def _make_kernel(plan, taps, ksize, coeff, zero_cut):
             p0 = src_ref[0, dy : dy + th, dx : dx + tw]
             p1 = src_ref[1, dy : dy + th, dx : dx + tw]
             p2 = src_ref[2, dy : dy + th, dx : dx + tw]
-            t = (jnp.abs(p0 * k2f + e0) + jnp.abs(p1 * k2f + e1)
-                 + jnp.abs(p2 * k2f + e2))
-            # exact floor(t/k²): t is an exact integer; the folded-in
-            # half_inv keeps the rounding away from integer boundaries
-            dist = jnp.floor(t * inv_k2 + half_inv)
-            # ws·exp(d²·coeff)·2⁶⁴ folded into one exp2 fma (≤2 ulp vs the
-            # factored form — inside the ±1 u8 contract; see
-            # ops/pallas/bilateral.py _make_kernel).  The 2⁶⁴ bias keeps the
-            # reference LUT's f32-subnormal weight band in normal range (the
-            # a/ak ratio is bit-invariant under a power-of-two scale) and
-            # the cut select pins the LUT's exact-zero region to hard 0 —
-            # see ops/adaptive_bilateral.py and core/luts.py
-            # color_table_zero_index for the full story.
-            wk = jnp.exp2(dist * dist * lg_coeff
-                          + np.float32(np.log2(ws) + 64.0))
-            if cut is not None:
-                wk = jnp.where(dist < cut, wk, np.float32(0.0))
+            # BIT-EXACT twin of the C++ index sequence (:41-45): (p−c) is
+            # exact (f32 integers ≤ 255), the −offset sub and the L1 adds
+            # round once each in the C++ order.  An earlier revision used
+            # an exact-integer |p·k²+e| form instead — cheaper by 2 ops/tap
+            # but its truncation-boundary flips change single weights ~4×
+            # at small σ_color (tens of u8; round-4 fuzz) — see
+            # ops/adaptive_bilateral.py.
+            t = (jnp.abs((p0 - c0) - o0) + jnp.abs((p1 - c1) - o1)
+                 ) + jnp.abs((p2 - c2) - o2)
+            dist = jnp.floor(t)  # static_cast<int>, t ≥ 0
+            # DOUBLE-rounded weight twin (D2b, see ops/adaptive_bilateral.py
+            # for the full derivation): the reference's f64 exp rounds to
+            # the stored f32 table entry — subnormal in the deep band —
+            # and the ws·table[idx] product rounds again.  Everything rides
+            # a 2⁶⁴ bias (ratio-invariant, keeps the band in normal f32
+            # range); each add-subtract pair rounds values below 2⁻⁶² to
+            # the reference's 2⁻⁸⁵-biased subnormal grid (identity above,
+            # hard 0 below half a quantum — the same flush boundary).
+            e = jnp.exp2(dist * dist * lg_coeff + bias)
+            e = (e + subn_cb) - subn_cb
+            if ws >= 2.0 ** -126:
+                wk = np.float32(ws) * e
+                wk = (wk + subn_cb) - subn_cb
+            else:
+                # subnormal space weight: XLA/TPU flush subnormal OPERANDS
+                # (DAZ) — ride a 2¹²⁸ bias for this tap (grid 2⁻²¹, C=4.0)
+                # and rescale; see ops/adaptive_bilateral.py
+                wk = np.float32(float(ws) * 2.0 ** 64) * e
+                wk = (wk + subn_cb128) - subn_cb128
+                wk = wk * np.float32(2.0 ** -64)
             a0 = a0 + p0 * wk
             a1 = a1 + p1 * wk
             a2 = a2 + p2 * wk
             ak = ak + wk
         inv = jnp.float32(1.0) / ak
         half = jnp.float32(0.5)
-        out_ref[0] = jnp.floor(a0 * inv + half).astype(jnp.int32).astype(jnp.uint8)
-        out_ref[1] = jnp.floor(a1 * inv + half).astype(jnp.int32).astype(jnp.uint8)
-        out_ref[2] = jnp.floor(a2 * inv + half).astype(jnp.int32).astype(jnp.uint8)
+        # all-zero window ⇒ reference divides 0/0 and its NaN casts to u8 0
+        # (ops/adaptive_bilateral.py) — replicate with a per-pixel select
+        zero = ak == np.float32(0.0)
+        z = np.float32(0.0)
+        o0 = jnp.where(zero, z, jnp.floor(a0 * inv + half))
+        o1 = jnp.where(zero, z, jnp.floor(a1 * inv + half))
+        o2 = jnp.where(zero, z, jnp.floor(a2 * inv + half))
+        out_ref[0] = o0.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[1] = o1.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[2] = o2.astype(jnp.int32).astype(jnp.uint8)
 
     return kernel
 
@@ -145,16 +172,15 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
 
     plan = plan_tiles(h, w, radius, th=tile[0], tw=tile[1])
     coeff = gauss_coeff_f32(sigma_color)
-    zero_cut = color_table_zero_index(sigma_color, COLOR_TABLE_SIZE_ADAPTIVE)
 
     src_p = to_planar_padded(src_u8, plan)
     cost = pl.CostEstimate(
-        flops=(len(taps) * 21 + 6 * ksize) * plan.out_rows * plan.out_cols,
+        flops=(len(taps) * 26 + 6 * ksize) * plan.out_rows * plan.out_cols,
         bytes_accessed=2 * 3 * plan.padded_rows * plan.padded_cols * 4,
         transcendentals=len(taps) * plan.out_rows * plan.out_cols,
     )
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
-    out = stencil_call(_make_kernel(plan, taps, ksize, coeff, zero_cut), plan,
+    out = stencil_call(_make_kernel(plan, taps, ksize, coeff), plan,
                        [halo_in_spec(plan)],
                        tile_out_spec(plan), out_shape, cost)(src_p)
     return from_planar(out, plan)
