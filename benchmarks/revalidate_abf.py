@@ -1,11 +1,12 @@
-"""On-chip revalidation for the ABF subnormal-band fix (PARITY.md D2b).
+"""On-chip revalidation for the ABF bit-exact twin (PARITY.md D2/D2b).
 
-Run after any change to the ABF weight path: checks Mosaic still compiles
-the kernel, parity holds on hardware (±1 vs golden at standard σ, the D2b
-envelope on the adversarial fuzz case), and re-measures 4K throughput.
-Audit: the D2b cut costs cmp+select and the round-4 fma-folded index saves
-one op → 21 ops/tap at bench σ (projects ~930 MP/s vs the pre-fix 980);
-σc ≳ 107 drops the cut at trace time (19 ops/tap).
+Run after any change to the ABF index/weight path: checks Mosaic still
+compiles the kernel, parity holds on hardware (±1 vs golden at standard σ,
+a few-u8 TPU-exp2 wiggle on the adversarial small-σ fuzz cases — CPU
+measures bit-exact there), and re-measures 4K throughput.  Audit: the
+round-4 fidelity rework pays 24 ops/tap (bit-exact C++ f32 index sequence
++ double-rounded weight twin, DESIGN.md "VPU ceiling") → projects ~860
+MP/s at 4K vs the pre-rework 980.
 
 Run: `python benchmarks/revalidate_abf.py`  (exit 0 = all checks hold).
 """
@@ -47,16 +48,27 @@ def main() -> int:
     print(f"{'OK ' if d <= 1 else 'FAIL'} abf_512_std: max {d} (bound 1)")
     ok &= d <= 1
 
-    # D2b adversarial case: small σc noise regime
-    img2 = random_image(45, 13)
-    out2 = np.asarray(adaptive_bilateral_filter(img2, 15, 22.8, 11.5))
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        exp2 = golden.adaptive_bilateral_filter(img2, 15, 22.8, 11.5)
-    d2 = np.abs(out2.astype(int) - exp2.astype(int))
-    print(f"{'OK ' if d2.max() <= 8 else 'FAIL'} abf_subnormal_band: "
-          f"max {d2.max()} (bound 8), >2: {(d2 > 2).sum()} (bound 8)")
-    ok &= d2.max() <= 8 and (d2 > 2).sum() <= 8
+    # D2/D2b adversarial cases: the round-4 fuzz failure parameter points
+    # (subnormal windows, index-boundary flips, subnormal space weights).
+    # The twin measures bit-exact on CPU; allow a few u8 for TPU exp2
+    # near-tie quantum flips (same envelope as hw_parity.py).
+    worst = 0
+    for i, (k, ss, sc, h, w) in enumerate([(15, 22.8, 11.5, 45, 13),
+                                           (13, 1.13, 1.6, 50, 50),
+                                           (9, 38.58, 7.58, 64, 31),
+                                           (15, 0.47, 3.49, 31, 64)]):
+        img2 = (random_image(h, w) if i == 0 else
+                np.random.default_rng(777 + i).integers(
+                    0, 256, (h, w, 3), np.uint8))
+        out2 = np.asarray(adaptive_bilateral_filter(img2, k, ss, sc))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            exp2 = golden.adaptive_bilateral_filter(img2, k, ss, sc)
+        worst = max(worst, int(np.abs(out2.astype(int)
+                                      - exp2.astype(int)).max()))
+    print(f"{'OK ' if worst <= 4 else 'FAIL'} abf_twin_adversarial: "
+          f"worst {worst} u8 over 4 regimes (bound 4)")
+    ok &= worst <= 4
 
     # 4K throughput
     big = jax.device_put(jnp.asarray(random_image(2160, 3840)))
