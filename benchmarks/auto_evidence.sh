@@ -41,6 +41,23 @@ import jax; d = jax.devices(); assert d and d[0].platform == 'tpu', d
       rc=$?
       echo "chain attempt $attempts done rc=$rc $(date +%H:%M:%S)" > /tmp/evidence/chain_status.txt
       if [ $rc -eq 0 ] || [ $attempts -ge 5 ]; then
+        # Strand-proofing: snapshot the stage logs into the repo and commit
+        # the evidence artifacts, in case no interactive session is alive
+        # when the tunnel finally returns.
+        {
+          echo "# Round-4 hardware evidence chain (unattended run)"
+          echo
+          echo "Chain rc=$rc after $attempts attempt(s), $(date -u +%Y-%m-%dT%H:%M:%SZ)."
+          echo "Stages: revalidate_abf -> hw_parity -> validate_wexler_search ->"
+          echo "baseline_configs (BENCH_DETAILS_r04.json) -> bench.py."
+          for lg in abf hwparity wexsearch matrix bench; do
+            echo; echo "## $lg (tail)"; echo '```'
+            tail -30 /tmp/evidence/$lg.log 2>/dev/null
+            echo '```'
+          done
+        } > EVIDENCE_r04.md
+        git add EVIDENCE_r04.md BENCH_DETAILS.json BENCH_DETAILS_r04.json 2>/dev/null
+        git commit -q -m "Hardware evidence chain: on-chip revalidation + benchmark matrix (rc=$rc)" || true
         exit $rc
       fi
       # failed — likely a tunnel flap: re-arm the watcher and retry
