@@ -160,9 +160,10 @@ def test_abf_product_underflow_zero_window():
     windows land past that boundary (reference: 0/0 → NaN → u8 0).  The
     round-3 LUT-only cutoff (color_table_zero_index) kept those weights
     alive and computed a real average — diffs up to 255 (found by the
-    round-4 fuzz campaign, cases 131/207/256/306).  The per-tap
-    product_zero_index cut + the sumk==0 select pin the class exactly;
-    surviving subnormal-band pixels keep the D2b few-u8 wobble."""
+    round-4 fuzz campaign, cases 131/207/256/306).  The double-rounded
+    grid quantization (whose flush boundary equals the product's, pinned
+    vs product_zero_index in test_luts.py) + the sumk==0 select pin the
+    class exactly; surviving band pixels keep the D2b few-u8 wobble."""
     import warnings
     from various_image_processings_tpu import golden
 

@@ -98,11 +98,15 @@ def product_zero_index(space_weight: float, sigma_color: float,
     a subnormal table entry underflows to exact 0 several indices before the
     table itself reaches 0.  With small σ_color/σ_space an entire adaptive-
     bilateral window can land past this boundary — the reference then
-    divides 0/0 and casts the NaN to 0 — so a device kernel that recomputes
-    the Gaussian must use THIS per-tap index (not ``color_table_zero_index``)
-    as its hard cutoff to replicate the reference's zero-weight set exactly.
-    f32 multiplication is correctly rounded and the table is non-increasing,
-    so the product is non-increasing and first-zero is a sharp threshold.
+    divides 0/0 and casts the NaN to 0 — so any cutoff-based recompute must
+    use THIS per-tap index (not ``color_table_zero_index``) to replicate the
+    reference's zero-weight set exactly.  The shipped device kernels don't
+    need a cutoff at all: their double-rounded grid quantization reproduces
+    the product's flush-to-zero boundary implicitly (PARITY.md D2b) — this
+    function remains as the analytic ground truth the tests pin that
+    boundary against.  f32 multiplication is correctly rounded and the table
+    is non-increasing, so the product is non-increasing and first-zero is a
+    sharp threshold.
     """
     tab = color_table(sigma_color, size)
     prod = (np.float32(space_weight) * tab).astype(np.float32)
