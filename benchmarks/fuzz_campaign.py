@@ -121,7 +121,7 @@ def main():
         rng = np.random.default_rng(args.base_seed + case)
         h, w = shape_pool[rng.integers(len(shape_pool))]
         op = ["bilateral", "joint", "abf", "gradient", "gradient1",
-              "integral", "btf"][rng.integers(7)]
+              "integral", "btf", "slic"][rng.integers(8)]
         counts[op] = counts.get(op, 0) + 1
         src = rng.integers(0, 256, (h, w, 3), np.uint8)
         k = int(ksizes[rng.integers(len(ksizes))])
@@ -206,6 +206,56 @@ def main():
                                              variant="cpp")
                 if u8diff(x, ref).max() > 1:
                     bad.append(("xla-cpp-vs-ref", int(u8diff(x, ref).max())))
+            elif op == "slic":
+                # quality-equivalence envelope (PARITY.md D3), randomized:
+                # STRUCTURED image (box-blurred noise — pure noise has no
+                # boundaries to recall), random (size, S, m); segment count
+                # within ±20% of the reference, 2-px boundary recall ≥ 0.8
+                # (pinned natural-image case: ±15% / 0.85,
+                # tests/test_reference_oracle.py).
+                hs, ws = [(96, 96), (128, 96), (160, 128),
+                          (128, 128)][rng.integers(4)]
+                S = int([12, 16, 20, 26, 32][rng.integers(5)])
+                m = float([10.0, 20.0, 40.0][rng.integers(3)])
+                nitr = int([5, 10][rng.integers(2)])
+                params = dict(op=op, case=case, h=hs, w=ws, S=S, m=m,
+                              nitr=nitr)
+                noise = rng.integers(0, 256, (hs + 16, ws + 16, 3)
+                                     ).astype(np.float32)
+                csum = np.cumsum(np.cumsum(noise, 0), 1)
+                blur = (csum[16:, 16:] - csum[:-16, 16:]
+                        - csum[16:, :-16] + csum[:-16, :-16]) / 256.0
+                src = blur.astype(np.uint8)
+                h, w = hs, ws
+                ref = run_oracle(exe, op, src, h, w, h * w * 4,
+                                 S, nitr, m).view(np.int32).reshape(h, w)
+                from various_image_processings_tpu.ops.slic import (
+                    superpixel_slic)
+                ours = np.asarray(superpixel_slic(src, S, nitr, m))
+                n_ref = len(np.unique(ref))
+                n_ours = len(np.unique(ours))
+                if abs(n_ours - n_ref) > max(0.2 * n_ref, 2.0):
+                    bad.append(("slic-count", (n_ours, n_ref)))
+
+                def boundary(lbl):
+                    b = np.zeros(lbl.shape, bool)
+                    b[:, :-1] |= lbl[:, :-1] != lbl[:, 1:]
+                    b[:-1, :] |= lbl[:-1, :] != lbl[1:, :]
+                    return b
+
+                def dilate2(b):
+                    for _ in range(2):
+                        d = b.copy()
+                        d[1:] |= b[:-1]; d[:-1] |= b[1:]
+                        d[:, 1:] |= b[:, :-1]; d[:, :-1] |= b[:, 1:]
+                        b = d
+                    return b
+
+                b_ref = boundary(ref)
+                recall = ((b_ref & dilate2(boundary(ours))).sum()
+                          / max(b_ref.sum(), 1))
+                if recall < 0.8:
+                    bad.append(("slic-recall", float(recall)))
         except subprocess.CalledProcessError as e:
             bad.append(("oracle-crash", e.returncode))
         except Exception as e:  # repro saved below; keep fuzzing
