@@ -121,7 +121,7 @@ def main():
         rng = np.random.default_rng(args.base_seed + case)
         h, w = shape_pool[rng.integers(len(shape_pool))]
         op = ["bilateral", "joint", "abf", "gradient", "gradient1",
-              "integral", "btf", "slic"][rng.integers(8)]
+              "integral", "btf", "slic", "wexler"][rng.integers(9)]
         counts[op] = counts.get(op, 0) + 1
         src = rng.integers(0, 256, (h, w, 3), np.uint8)
         k = int(ksizes[rng.integers(len(ksizes))])
@@ -256,6 +256,58 @@ def main():
                           / max(b_ref.sum(), 1))
                 if recall < 0.8:
                     bad.append(("slic-recall", float(recall)))
+            elif op == "wexler":
+                # end-to-end fill vs the compiled reference at random lenna
+                # crops / hole rects (PARITY.md D4 PSNR-parity envelope,
+                # randomized beyond the pinned cases).  The reference's
+                # contour trace std::exits on some masks (its own
+                # brittleness, pinned as D6) — count those informationally
+                # and still require OUR fill to behave.
+                import cv2
+                lenna = cv2.imread(
+                    "/root/reference/sample_image/lenna.png")
+                hs = int([48, 64][rng.integers(2)])
+                y0 = int(rng.integers(0, lenna.shape[0] - hs))
+                x0 = int(rng.integers(0, lenna.shape[1] - hs))
+                src = np.ascontiguousarray(lenna[y0:y0 + hs, x0:x0 + hs])
+                hh, hw_ = int(rng.integers(8, 13)), int(rng.integers(8, 13))
+                my = int(rng.integers(4, hs - 4 - hh))
+                mx = int(rng.integers(4, hs - 4 - hw_))
+                mask = np.zeros((hs, hs), np.uint8)
+                mask[my:my + hh, mx:mx + hw_] = 255
+                params = dict(op=op, case=case, h=hs, w=hs, y0=y0, x0=x0,
+                              my=my, hh=hh, mx=mx, hw=hw_)
+                from various_image_processings_tpu.ops.inpainting import (
+                    inpainting_wexler)
+                ours = np.asarray(inpainting_wexler(src, mask))
+                hole = mask > 0
+
+                def hole_psnr(a, b):
+                    mse = ((a.astype(np.float64)
+                            - b.astype(np.float64)) ** 2)[hole].mean()
+                    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+                if not np.array_equal(ours[~hole], src[~hole]):
+                    bad.append(("wexler-known-touched", 0))
+                p_ours = hole_psnr(ours, src)
+                try:
+                    data = np.concatenate([src.reshape(-1),
+                                           mask.reshape(-1)])
+                    ref = run_oracle(exe, op, data, hs, hs,
+                                     hs * hs * 3).reshape(hs, hs, 3)
+                except subprocess.CalledProcessError:
+                    counts["wexler-ref-fragile"] = (
+                        counts.get("wexler-ref-fragile", 0) + 1)
+                    if p_ours < 8.0:   # ours must still produce a fill
+                        bad.append(("wexler-psnr-alone", float(p_ours)))
+                else:
+                    p_ref = hole_psnr(ref, src)
+                    if p_ours < p_ref - 2.0:
+                        bad.append(("wexler-psnr",
+                                    (float(p_ours), float(p_ref))))
+                    mutual = hole_psnr(ours, ref)
+                    if mutual < 15.0:
+                        bad.append(("wexler-mutual", float(mutual)))
         except subprocess.CalledProcessError as e:
             bad.append(("oracle-crash", e.returncode))
         except Exception as e:  # repro saved below; keep fuzzing
