@@ -48,6 +48,29 @@ def test_btf_end_to_end_vs_golden():
     assert diff.max() <= 3
 
 
+@pytest.mark.parametrize("ksize", [3, 9])
+def test_blur_and_rtv_bitexact_under_jit(ksize):
+    """The JITTED stage must bit-equal the golden NumPy twin.
+
+    XLA strength-reduces division by a literal (/3 intensity, /k² blur)
+    into a reciprocal-multiply under jit — 1 ulp off the reference's TRUE
+    division (include/cpp/bilateral_texture_filter.hpp:29, :57-60).  That
+    ulp flips the guide stage's strict-less argmin at near-ties and moved
+    the final cpp-variant output up to 52 u8 off the compiled reference
+    (round-4 fuzz case100, 64×31 k=9 nitr=3).  The eager stage test above
+    never sees it: eager per-op programs keep the true division.  The
+    barriered divisors in _blur_and_rtv_math must hold bit-exactness
+    under jit."""
+    import jax
+    src = random_image(64, 31)
+    mag = golden.gradient(src)
+    blurred_g, rtv_g = golden.compute_blur_and_rtv(src, mag, ksize)
+    f = jax.jit(lambda s, m: _blur_and_rtv_math(s, m, ksize))
+    blurred, rtv = f(jnp.asarray(src).astype(jnp.float32), jnp.asarray(mag))
+    np.testing.assert_array_equal(np.asarray(blurred), blurred_g)
+    np.testing.assert_array_equal(np.asarray(rtv), rtv_g)
+
+
 @pytest.mark.parametrize("n,r", [(8, 8), (5, 12), (12, 8), (1, 4), (3, 3)])
 def test_reflect101_indices_match_opencv(n, r):
     """cv::BORDER_REFLECT_101 multi-reflects when the pad exceeds the image

@@ -198,6 +198,27 @@ def test_btf_cpp_variant_vs_reference(oracle):
     assert (d == 0).mean() > 0.99
 
 
+def test_btf_cpp_variant_fuzz_case100_vs_reference(oracle):
+    """Round-4 fuzz failure pinned e2e: a 64×31 noise image (k=9, nitr=3)
+    where XLA's reciprocal-multiply strength reduction of the stage
+    divisions (/3 intensity, /k² blur — 1 ulp off the reference's true
+    division) flipped guide argmin near-ties and moved the cpp-variant
+    output up to 52 u8 off the compiled reference.  With the barriered
+    divisors (ops/bilateral_texture.py) the case replays bit-exact."""
+    data = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                "btf_fuzz_case100.npz"))
+    img = data["src"]
+    h, w = img.shape[:2]
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        bilateral_texture_filter)
+    for nitr in (1, 3):
+        ref = oracle("btf", img, h, w, h * w * 3, 9, nitr).reshape(h, w, 3)
+        ours = np.asarray(bilateral_texture_filter(img, 9, nitr, impl="xla",
+                                                   variant="cpp"))
+        assert np.array_equal(ours, ref), (
+            nitr, int(np.abs(ours.astype(int) - ref.astype(int)).max()))
+
+
 def test_btf_vs_cpp_path(oracle):
     """Quantifies PARITY.md D1: our BTF implements the reference's CUDA
     variant (σc=√3 L1-LUT JBF); the reference's cpp path defers to

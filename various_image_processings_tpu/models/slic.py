@@ -334,9 +334,16 @@ def slic_device(lab_u8: jax.Array, height: int, width: int, sp_size: int,
     home_cy = jnp.repeat(jnp.arange(per_col), per_row).astype(jnp.float32)
 
     def cell_drift(centers):
-        """Max Chebyshev distance (cells) of current center cells from home."""
-        ccx = jnp.floor(centers[:, 0] / jnp.float32(sp_size))
-        ccy = jnp.floor(centers[:, 1] / jnp.float32(sp_size))
+        """Max Chebyshev distance (cells) of current center cells from home.
+
+        Integer division: centers hold exact pixel coordinates, and XLA
+        strength-reduces f32 division by a literal into a 1-ulp-off
+        reciprocal-multiply, which at an exact multiple of S would flip
+        floor() and overstate the drift by one cell (the guard asserts
+        drift ≤ 2 and lenna measures exactly 2.0 — no headroom for that).
+        """
+        ccx = (centers[:, 0].astype(jnp.int32) // sp_size).astype(jnp.float32)
+        ccy = (centers[:, 1].astype(jnp.int32) // sp_size).astype(jnp.float32)
         return jnp.maximum(jnp.abs(ccx - home_cx),
                            jnp.abs(ccy - home_cy)).max()
 

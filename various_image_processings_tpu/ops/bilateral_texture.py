@@ -36,7 +36,16 @@ def _blur_and_rtv_math(image_f: jax.Array, magnitude: jax.Array, ksize: int):
     ((H,W,3) f32 blurred, (H,W) f32 rtv)."""
     h, w, _ = image_f.shape
     radius = ksize // 2
-    intensity = (image_f[:, :, 0] + image_f[:, :, 1] + image_f[:, :, 2]) / jnp.float32(3.0)
+    # TRUE division only (reference: b_sum/(ksize*ksize) and (b+g+r)/3.f,
+    # include/cpp/bilateral_texture_filter.hpp:28-29, :56-60).  XLA
+    # strength-reduces division by a literal into a reciprocal-multiply,
+    # 1 ulp off — enough to flip the guide stage's strict-less argmin at
+    # near-ties and move the final JBF output by tens of u8 (round-4 fuzz
+    # case100, 64×31 k=9: max 52 u8).  The barrier keeps the divisors
+    # opaque, exactly like the ABF index twin (ops/adaptive_bilateral.py).
+    threef, k2f = jax.lax.optimization_barrier(
+        (jnp.float32(3.0), jnp.float32(ksize * ksize)))
+    intensity = (image_f[:, :, 0] + image_f[:, :, 1] + image_f[:, :, 2]) / threef
 
     img_p = replicate_pad(image_f, radius, radius, radius, radius)
     int_p = replicate_pad(intensity, radius, radius, radius, radius)
@@ -56,7 +65,7 @@ def _blur_and_rtv_math(image_f: jax.Array, magnitude: jax.Array, ksize: int):
             i_min = jnp.minimum(i_min, iw)
             m_max = jnp.maximum(m_max, mw)
             m_sum = m_sum + mw
-    blurred = b_sum / jnp.float32(ksize * ksize)
+    blurred = b_sum / k2f
     rtv = (i_max - i_min) * m_max / (m_sum + EPSILON)
     return blurred, rtv
 

@@ -43,9 +43,17 @@ def _make_blur_rtv_kernel(plan, ksize):
     three = np.float32(3.0)
 
     def kernel(img_ref, mag_ref, blurred_ref, rtv_ref):
+        # TRUE division only: the compiler strength-reduces division by a
+        # literal into a reciprocal-multiply (1 ulp off), which can flip
+        # the guide stage's strict-less argmin at near-ties (round-4 fuzz
+        # case100: tens of u8 downstream).  Barrier keeps the divisors
+        # opaque — same pattern as adaptive_bilateral.py's index twin.
+        threeb, k2b = jax.lax.optimization_barrier(
+            (three * jnp.ones((1, 1), jnp.float32),
+             k2 * jnp.ones((1, 1), jnp.float32)))
         # separable row→column reductions (2k taps): box sums of u8-valued
         # integers are exact in f32 in any order; min/max are associative
-        ip = (img_ref[0] + img_ref[1] + img_ref[2]) / three  # intensity
+        ip = (img_ref[0] + img_ref[1] + img_ref[2]) / threeb  # intensity
         hb0 = img_ref[0, 0:bh, 0:tw]
         hb1 = img_ref[1, 0:bh, 0:tw]
         hb2 = img_ref[2, 0:bh, 0:tw]
@@ -79,9 +87,9 @@ def _make_blur_rtv_kernel(plan, ksize):
         for dy in range(ksize):
             for dx in range(ksize):
                 msm = msm + mag_ref[0, dy : dy + th, dx : dx + tw]
-        blurred_ref[0] = b0 / k2
-        blurred_ref[1] = b1 / k2
-        blurred_ref[2] = b2 / k2
+        blurred_ref[0] = b0 / k2b
+        blurred_ref[1] = b1 / k2b
+        blurred_ref[2] = b2 / k2b
         rtv_ref[0] = (imx - imn) * mmx / (msm + EPSILON)
 
     return kernel
