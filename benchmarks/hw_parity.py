@@ -172,6 +172,29 @@ def main() -> int:
                 f"max {d.max()} (bound 46), p99.9 {p999:.1f} (bound 5), "
                 f"exact {(d == 0).mean():.4f}")
 
+    # BTF stage true-division twin on-chip (PARITY.md D1b, fuzz case 100):
+    # the jitted xla stage's barriered /3 and /k² divisions must keep the
+    # box blur BIT-EXACT vs golden (integer sums / k² — exact iff the
+    # division stays a true IEEE-RN divide) and rtv within the hardware
+    # envelope (TPU mul/div transcendental-free, ≤2e-6 rel per the parity
+    # table).  Exercises the same lowering the abf_division check pins,
+    # but through the real stage kernel on the fuzz-failure image.
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        _blur_and_rtv_math)
+    case = np.load(os.path.join(os.path.dirname(__file__), "..", "tests",
+                                "data", "btf_fuzz_case100.npz"))
+    img100 = case["src"]
+    mag_g = golden.gradient(img100)
+    blur_g, rtv_g = golden.compute_blur_and_rtv(img100, mag_g, 9)
+    blur_t, rtv_t = jax.jit(lambda s, m: _blur_and_rtv_math(s, m, 9))(
+        jnp.asarray(img100, jnp.float32), jnp.asarray(mag_g))
+    blur_eq = np.array_equal(np.asarray(blur_t), blur_g)
+    rtv_rel = float(np.abs(np.asarray(rtv_t) - rtv_g).max()
+                    / max(np.abs(rtv_g).max(), 1e-12))
+    ok &= check("btf_stage_division", blur_eq and rtv_rel <= 2e-6,
+                f"blur {'bit-exact' if blur_eq else 'DIVERGES'}, "
+                f"rtv rel {rtv_rel:.2e} (bound 2e-6)")
+
     return 0 if ok else 1
 
 
