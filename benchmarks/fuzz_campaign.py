@@ -121,7 +121,7 @@ def main():
         rng = np.random.default_rng(args.base_seed + case)
         h, w = shape_pool[rng.integers(len(shape_pool))]
         op = ["bilateral", "joint", "abf", "gradient", "gradient1",
-              "integral", "btf", "slic", "wexler"][rng.integers(9)]
+              "integral", "btf", "slic", "wexler", "pyramid"][rng.integers(10)]
         counts[op] = counts.get(op, 0) + 1
         src = rng.integers(0, 256, (h, w, 3), np.uint8)
         k = int(ksizes[rng.integers(len(ksizes))])
@@ -197,7 +197,7 @@ def main():
                 # full cpp pipeline (incl. ximgproc JBF final stage) vs the
                 # compiled reference; bit-exact on lenna 128² (PARITY.md D1)
                 # — allow 1 for untested σ/size corners, flag beyond.
-                kb = int([3, 5, 7, 9][rng.integers(4)])
+                kb = int([3, 5, 7, 9, 11, 13][rng.integers(6)])
                 nitr = int(rng.integers(1, 4))
                 params = dict(op=op, case=case, h=h, w=w, k=kb, nitr=nitr)
                 ref = run_oracle(exe, op, src, h, w, h * w * 3,
@@ -206,6 +206,25 @@ def main():
                                              variant="cpp")
                 if u8diff(x, ref).max() > 1:
                     bad.append(("xla-cpp-vs-ref", int(u8diff(x, ref).max())))
+            elif op == "pyramid":
+                # round-4 bit-exact u8 pyramid twins (ops/pyramid.py) vs
+                # cv2's fixed-point pyrDown/pyrUp, randomized over shapes
+                # incl. odd parents (the 2n+1 pyrUp reflection regime)
+                import cv2
+                from various_image_processings_tpu.ops.pyramid import (
+                    pyr_down, pyr_up)
+                params = dict(op=op, case=case, h=h, w=w)
+                down = np.asarray(pyr_down(src))
+                ref_d = cv2.pyrDown(src)
+                if not np.array_equal(down, ref_d):
+                    bad.append(("pyrdown-vs-cv2",
+                                int(u8diff(down, ref_d).max())))
+                # reconstruct the (possibly odd) parent size
+                up = np.asarray(pyr_up(ref_d, (h, w)))
+                ref_u = cv2.pyrUp(ref_d, dstsize=(w, h))
+                if not np.array_equal(up, ref_u):
+                    bad.append(("pyrup-vs-cv2",
+                                int(u8diff(up, ref_u).max())))
             elif op == "slic":
                 # quality-equivalence envelope (PARITY.md D3), randomized:
                 # STRUCTURED image (box-blurred noise — pure noise has no
