@@ -74,16 +74,26 @@ def main() -> int:
         got = np.asarray(xla_div(jnp.asarray(box)))
         x_eq = np.array_equal(want, got)
 
-        def kern(x_ref, o_ref, kk=k2):
-            kb = jax.lax.optimization_barrier(
-                kk * jnp.ones((1, 1), jnp.float32))
-            o_ref[...] = x_ref[...] / kb
+        # the divisor rides an SMEM operand barriered OUTSIDE the kernel —
+        # Mosaic cannot lower a kernel-side optimization_barrier
+        # (tests/test_tpu_lowering.py); this mirrors the shipped kernels
+        # (ops/pallas/_stencil.py::consts_in_spec)
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kern(x_ref, k_ref, o_ref):
+            o_ref[...] = x_ref[...] / k_ref[0, 0]
 
         pad = (-box.size) % 128
         boxp = np.pad(box, (0, pad)).reshape(-1, 128)
+        kop = jax.lax.optimization_barrier(
+            jnp.full((1, 1), k2, jnp.float32))
         got_p = np.asarray(pl.pallas_call(
-            kern, out_shape=jax.ShapeDtypeStruct(boxp.shape, jnp.float32),
-        )(jnp.asarray(boxp))).reshape(-1)[: box.size]
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(boxp.shape, jnp.float32),
+        )(jnp.asarray(boxp), kop)).reshape(-1)[: box.size]
         p_eq = np.array_equal(want, got_p)
         div_ok &= x_eq and p_eq
         detail.append(f"k={k} xla={'ok' if x_eq else 'NE'} "

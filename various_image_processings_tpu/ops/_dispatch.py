@@ -40,5 +40,14 @@ def resolve_impl(impl: str) -> str:
 
 
 def pallas_interpret() -> bool:
-    """Pallas kernels run in interpreter mode off-TPU (tests on CPU)."""
+    """Pallas kernels run in interpreter mode off-TPU (tests on CPU).
+
+    VIP_PALLAS_FORCE_COMPILE=1 forces interpret=False regardless of the
+    local backend so ``jax.export(..., platforms=['tpu'])`` exercises the
+    real Pallas→Mosaic lowering on a CPU host — the only way to catch
+    unsupported-primitive lowering errors without a chip
+    (tests/test_tpu_lowering.py)."""
+    import os
+    if os.environ.get("VIP_PALLAS_FORCE_COMPILE"):
+        return False
     return not on_tpu()

@@ -136,6 +136,21 @@ def halo_in_spec(plan: TilePlan, channels: int = 3):
     )
 
 
+def consts_in_spec(n: int | None = None):
+    """BlockSpec for a (1, n) f32 opaque-constant operand in SMEM.
+
+    Kernels that need true IEEE division / unfolded add-subtract pairs take
+    their constants as runtime SMEM scalars instead of captured literals:
+    Mosaic has NO lowering rule for ``jax.lax.optimization_barrier`` (a
+    kernel-side barrier fails at lowering, tests/test_tpu_lowering.py), so
+    the wrapper barriers the operand OUTSIDE the kernel (plain XLA HLO) and
+    the kernel reads ``consts_ref[0, i]``.  Scalars must be 2D in SMEM.
+    """
+    shape = (1, n) if n is not None else None
+    return pl.BlockSpec(shape, (lambda *_: (0, 0)) if n is not None else None,
+                        memory_space=pltpu.SMEM)
+
+
 def tile_out_spec(plan: TilePlan, channels: int = 3):
     return pl.BlockSpec((channels, plan.th, plan.tw), lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from ...core.luts import gauss_coeff_f32
 from ..bilateral import nonzero_taps
 from ._stencil import (plan_tiles, to_planar_padded, from_planar,
-                       halo_in_spec, tile_out_spec, stencil_call)
+                       halo_in_spec, tile_out_spec, stencil_call,
+                       consts_in_spec)
 
 # compile-limit estimate: (32,512) at k=9 (69 taps) compiles on hardware,
 # so ~2.9 live tile-values per tap bounds what Mosaic actually materializes
@@ -61,13 +62,11 @@ def _make_kernel(plan, taps, ksize, coeff):
     th, tw, r = plan.th, plan.tw, plan.radius
     # NB: np scalars, not jnp — jnp scalars become captured device constants,
     # which pallas kernels reject
-    k2f = np.float32(ksize * ksize)
     lg_coeff = np.float32(coeff) * np.float32(np.log2(np.e))
-    subn_c = np.float32(2.0 ** -62)
     bias = np.float32(64.0)
     bh = th + 2 * r  # rows covered by the horizontal box strips
 
-    def kernel(src_ref, out_ref):
+    def kernel(src_ref, consts_ref, out_ref):
         # in-tile separable box sums (exact f32 integers ≤ 255·k² ≪ 2²⁴) —
         # the CUDA kernel's first smem pass, done in k+k adds per channel
         def box(c):
@@ -88,15 +87,18 @@ def _make_kernel(plan, taps, ksize, coeff):
         # reciprocal-multiply flips u8 parity (CLAUDE.md), and the index
         # twin below needs fl(box/k²) bit-equal to the host's (verified
         # exhaustively for every reachable box on-chip, hw_parity.py).
-        # The optimization_barrier keeps k² opaque so the compiler cannot
-        # strength-reduce the divide into a reciprocal-multiply (it does
-        # for literal divisors, measured 1-ulp-off on XLA-CPU interpret).
-        # the barrier also protects the subnormal-grid add-subtract pairs
-        # below: the compiler folds (v + C) − C → v for literal C (measured
-        # on XLA-CPU), which would silently delete the grid rounding
-        kb, subn_cb, subn_cb128 = jax.lax.optimization_barrier(
-            (k2f * jnp.ones((1, 1), jnp.float32), jnp.float32(subn_c),
-             jnp.float32(4.0)))
+        # The constants arrive as an SMEM OPERAND (barriered in the
+        # wrapper): as runtime data neither XLA nor Mosaic can
+        # strength-reduce the divide into a reciprocal-multiply (literal
+        # divisors measured 1-ulp-off on XLA-CPU) or fold the
+        # subnormal-grid add-subtract pairs below ((v + C) − C → v for
+        # literal C, which would silently delete the grid rounding).
+        # jax.lax.optimization_barrier INSIDE the kernel is not an option:
+        # Mosaic has no lowering rule for it (NotImplementedError at
+        # jax.export time — tests/test_tpu_lowering.py pins this).
+        kb = consts_ref[0, 0]
+        subn_cb = consts_ref[0, 1]
+        subn_cb128 = consts_ref[0, 2]
         o0 = c0 - box(0) / kb
         o1 = c1 - box(1) / kb
         o2 = c2 - box(2) / kb
@@ -174,6 +176,12 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
     coeff = gauss_coeff_f32(sigma_color)
 
     src_p = to_planar_padded(src_u8, plan)
+    # opaque-constant operand: k², the 2⁻⁶² subnormal-grid constant and the
+    # 2¹²⁸-band grid constant ride SMEM so no compiler stage ever sees them
+    # as literals (see the kernel comment; barrier here is XLA HLO — fully
+    # supported — and keeps XLA itself from constant-folding the operand)
+    consts = jax.lax.optimization_barrier(
+        jnp.array([[ksize * ksize, 2.0 ** -62, 4.0]], jnp.float32))
     cost = pl.CostEstimate(
         flops=(len(taps) * 26 + 6 * ksize) * plan.out_rows * plan.out_cols,
         bytes_accessed=2 * 3 * plan.padded_rows * plan.padded_cols * 4,
@@ -181,6 +189,6 @@ def adaptive_bilateral_pallas(src_u8: jax.Array, ksize: int, sigma_space: float,
     )
     out_shape = jax.ShapeDtypeStruct((3, plan.out_rows, plan.out_cols), jnp.uint8)
     out = stencil_call(_make_kernel(plan, taps, ksize, coeff), plan,
-                       [halo_in_spec(plan)],
-                       tile_out_spec(plan), out_shape, cost)(src_p)
+                       [halo_in_spec(plan), consts_in_spec()],
+                       tile_out_spec(plan), out_shape, cost)(src_p, consts)
     return from_planar(out, plan)

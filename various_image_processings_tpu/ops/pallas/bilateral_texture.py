@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from ._stencil import (plan_tiles, to_planar_padded, pad_planar, halo_in_spec,
-                       tile_out_spec, stencil_call)
+                       tile_out_spec, stencil_call, consts_in_spec)
 from .bilateral import joint_bilateral_pallas_planar
 from .gradient import gradient_pallas
 
@@ -39,18 +39,17 @@ EPSILON = np.float32(1e-9)
 def _make_blur_rtv_kernel(plan, ksize):
     th, tw, r = plan.th, plan.tw, plan.radius
     bh = th + 2 * r
-    k2 = np.float32(ksize * ksize)
-    three = np.float32(3.0)
 
-    def kernel(img_ref, mag_ref, blurred_ref, rtv_ref):
+    def kernel(img_ref, mag_ref, consts_ref, blurred_ref, rtv_ref):
         # TRUE division only: the compiler strength-reduces division by a
         # literal into a reciprocal-multiply (1 ulp off), which can flip
         # the guide stage's strict-less argmin at near-ties (round-4 fuzz
-        # case100: tens of u8 downstream).  Barrier keeps the divisors
-        # opaque — same pattern as adaptive_bilateral.py's index twin.
-        threeb, k2b = jax.lax.optimization_barrier(
-            (three * jnp.ones((1, 1), jnp.float32),
-             k2 * jnp.ones((1, 1), jnp.float32)))
+        # case100: tens of u8 downstream).  The divisors arrive as SMEM
+        # runtime scalars (barriered in the wrapper — Mosaic cannot lower
+        # a kernel-side optimization_barrier, tests/test_tpu_lowering.py),
+        # same pattern as adaptive_bilateral.py's index twin.
+        threeb = consts_ref[0, 0]
+        k2b = consts_ref[0, 1]
         # separable row→column reductions (2k taps): box sums of u8-valued
         # integers are exact in f32 in any order; min/max are associative
         ip = (img_ref[0] + img_ref[1] + img_ref[2]) / threeb  # intensity
@@ -114,11 +113,15 @@ def blur_and_rtv_pallas_planar(img_p3: jax.Array, magnitude: jax.Array,
         bytes_accessed=4 * plan.padded_rows * plan.padded_cols * 4,
         transcendentals=0,
     )
+    # opaque divisors (/3 intensity, /k² blur) as an SMEM operand — the
+    # barrier is plain XLA HLO outside the kernel (see _make_blur_rtv_kernel)
+    consts = jax.lax.optimization_barrier(
+        jnp.array([[3.0, ksize * ksize]], jnp.float32))
     blurred, rtv = stencil_call(
         _make_blur_rtv_kernel(plan, ksize), plan,
-        [halo_in_spec(plan, 3), halo_in_spec(plan, 1)],
+        [halo_in_spec(plan, 3), halo_in_spec(plan, 1), consts_in_spec()],
         (tile_out_spec(plan, 3), tile_out_spec(plan, 1)),
-        out_shapes, cost)(img_p, mag_p)
+        out_shapes, cost)(img_p, mag_p, consts)
     return (blurred[:, :h, :w], rtv[0, :h, :w])
 
 
