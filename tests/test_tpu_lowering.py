@@ -100,6 +100,34 @@ def test_wexler_search_lowers():
                p117, f13, valid)
 
 
+def test_batched_shardmap_pallas_lowers():
+    """8-way batch shard_map with the Mosaic bilateral kernel INSIDE lowers
+    for an 8-TPU mesh — multi-chip lowering evidence beyond the CPU-device
+    dryrun (__graft_entry__.dryrun_multichip executes on CPU devices, which
+    never exercises the Mosaic path)."""
+    from jax.sharding import Mesh
+    from various_image_processings_tpu.parallel.batch import (
+        bilateral_filter_batched)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("batch",))
+    x = jnp.zeros((8, 64, 128, 3), jnp.uint8)
+    with mesh:
+        _lower_tpu(lambda b: bilateral_filter_batched(
+            b, 9, 10.0, 30.0, mesh=mesh, impl="pallas"), x)
+
+
+def test_spatial_shardmap_pallas_lowers():
+    """Spatially-sharded bilateral (ppermute halo exchange around the
+    Mosaic kernel) lowers for an 8-TPU mesh."""
+    from jax.sharding import Mesh
+    from various_image_processings_tpu.parallel.spatial import (
+        bilateral_filter_sharded)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("y",))
+    y = jnp.zeros((256, 128, 3), jnp.uint8)
+    with mesh:
+        _lower_tpu(lambda im: bilateral_filter_sharded(
+            im, 9, 10.0, 30.0, mesh=mesh, impl="pallas"), y)
+
+
 def test_optimization_barrier_unsupported_in_mosaic():
     """Pin the REASON this file exists: a kernel-side optimization_barrier
     fails Mosaic lowering.  If JAX ever adds the rule, this test failing is
