@@ -197,7 +197,11 @@ def main():
                 # full cpp pipeline (incl. ximgproc JBF final stage) vs the
                 # compiled reference; bit-exact on lenna 128² (PARITY.md D1)
                 # — allow 1 for untested σ/size corners, flag beyond.
-                kb = int([3, 5, 7, 9, 11, 13][rng.integers(6)])
+                # e2e capped at k=9: the k=11/13 whole-pipeline jit costs
+                # tens of minutes of XLA-CPU compile on this 1-vCPU box.
+                # Large k is covered by the STAGE oracles below instead
+                # (single-pass programs, cheap compiles).
+                kb = int([3, 5, 7, 9][rng.integers(4)])
                 nitr = int(rng.integers(1, 4))
                 params = dict(op=op, case=case, h=h, w=w, k=kb, nitr=nitr)
                 ref = run_oracle(exe, op, src, h, w, h * w * 3,
@@ -206,6 +210,39 @@ def main():
                                              variant="cpp")
                 if u8diff(x, ref).max() > 1:
                     bad.append(("xla-cpp-vs-ref", int(u8diff(x, ref).max())))
+                # stage-level fuzz at wide kernels (jitted, bit-exactness
+                # contract of PARITY.md D1b): blur/rtv and guide vs the
+                # compiled reference stages
+                ks = int([7, 9, 11, 13, 15][rng.integers(5)])
+                params["k_stage"] = ks
+                import jax as _jax
+                import jax.numpy as _jnp
+                from various_image_processings_tpu.ops.bilateral_texture import (
+                    _blur_and_rtv_math, _guide_math)
+                raw = run_oracle(exe, "blur_rtv", src, h, w,
+                                 h * w * 16, ks)
+                ref_blur = raw[: h * w * 12].view(np.float32).reshape(h, w, 3)
+                ref_rtv = raw[h * w * 12:].view(np.float32).reshape(h, w)
+                ref_guide = run_oracle(exe, "guide", raw, h, w,
+                                       h * w * 3, ks).reshape(h, w, 3)
+                mag = golden.gradient(src)
+                blur, rtv = _jax.jit(
+                    lambda s, m, k=ks: _blur_and_rtv_math(s, m, k))(
+                        _jnp.asarray(src, _jnp.float32), _jnp.asarray(mag))
+                if not np.array_equal(np.asarray(blur), ref_blur):
+                    bad.append(("blur-stage-vs-ref",
+                                float(np.abs(np.asarray(blur)
+                                             - ref_blur).max())))
+                rtv_rel = np.abs(np.asarray(rtv) - ref_rtv).max() / max(
+                    np.abs(ref_rtv).max(), 1e-12)
+                if rtv_rel > 2e-6:
+                    bad.append(("rtv-stage-vs-ref", float(rtv_rel)))
+                guide = np.asarray(_jax.jit(
+                    lambda b, r, k=ks: _guide_math(b, r, k))(
+                        _jnp.asarray(ref_blur), _jnp.asarray(ref_rtv)))
+                if u8diff(guide, ref_guide).max() > 1:
+                    bad.append(("guide-stage-vs-ref",
+                                int(u8diff(guide, ref_guide).max())))
             elif op == "pyramid":
                 # round-4 bit-exact u8 pyramid twins (ops/pyramid.py) vs
                 # cv2's fixed-point pyrDown/pyrUp, randomized over shapes
