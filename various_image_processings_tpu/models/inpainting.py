@@ -618,10 +618,27 @@ class WexlerInpainting:
 
             # the whole ≤max_loop energy loop runs on device; the energies
             # come back for logging in one sync with the final image.
-            # cap: whole-hole chunks bucketed to multiples of 256 (few
-            # compile variants), amortizing the fixed per-search conv cost
+            # cap: the chunk size is a QUALITY knob, not just a perf one —
+            # within a chunk the refill is Jacobi (no target sees another's
+            # update) while the reference's per-pixel refill is sequential
+            # Gauss-Seidel (PARITY.md D4).  A 96-px hole filled as ONE
+            # Jacobi chunk converged 5.2 dB below the reference (round-4
+            # fuzz case 51; ~8 sequential chunks recovered it to +1 dB
+            # ABOVE).  Small holes therefore get fine chunks (~8 per pass,
+            # pow-2 bucketed: 16/32/64/128 — chunks run inside one device
+            # program, so the extra sequentialism costs no dispatches and
+            # trivial absolute compute at these sizes); large holes keep
+            # whole-hole chunks bucketed to multiples of 256 (few compile
+            # variants, amortizing the fixed per-search conv cost — at
+            # bench scale the MXU wants the big T dim).
             nhole = int(hole.sum())
-            ecap = max(RING_CAP, min(ENERGY_CAP, -(-max(nhole, 1) // 256) * 256))
+            if nhole <= 1024:
+                ecap = 16
+                while ecap * 8 < nhole:
+                    ecap *= 2
+            else:
+                ecap = max(RING_CAP,
+                           min(ENERGY_CAP, -(-nhole // 256) * 256))
             img_dev, energies = _energy_loops_device(
                 img_dev, hole_dev, weight_dev, *hole.shape,
                 max_loop=self.max_loop, cap=ecap, bbox_size=bbox[0],
