@@ -471,6 +471,36 @@ def test_wexler_small_hole_chunk_quality_vs_reference(oracle):
     assert p_ours >= 23.0, p_ours
 
 
+def test_wexler_coarse_local_minimum_tail_vs_reference(oracle):
+    """Round-4 fuzz case 150: the documented D4 tail.  A 9×11 hole in a
+    lenna crop where the coarse-level Jacobi fill settles a different
+    (still good) local minimum than the reference's sequential refill —
+    measured 28.9 dB vs the reference's 32.4, insensitive to every chunk
+    cap (energy AND ring), and matching the reference within 0.5 dB when
+    the pyramid is disabled.  Pinned at the fuzz envelope (ref − 4 dB)
+    plus an absolute floor well above any real failure mode."""
+    cv2 = pytest.importorskip("cv2")
+    lenna = cv2.imread("/root/reference/sample_image/lenna.png")
+    if lenna is None:
+        pytest.skip("lenna unavailable")
+    img = np.ascontiguousarray(lenna[65:129, 111:175])
+    mask = np.zeros((64, 64), np.uint8)
+    mask[15:24, 27:38] = 255
+    hole = mask > 0
+
+    def hole_psnr(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2)[hole].mean()
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    from various_image_processings_tpu.ops.inpainting import inpainting_wexler
+    ours = np.asarray(inpainting_wexler(img, mask))
+    data = np.concatenate([img.reshape(-1), mask.reshape(-1)])
+    ref = oracle("wexler", data, 64, 64, 64 * 64 * 3).reshape(64, 64, 3)
+    p_ours, p_ref = hole_psnr(ours, img), hole_psnr(ref, img)
+    assert p_ours >= p_ref - 4.0, (p_ours, p_ref)
+    assert p_ours >= 26.0, p_ours
+
+
 def test_wexler_contour_priority_vs_reference(oracle):
     """First-ring contour set and priorities must match the reference's
     chain-code trace + priority queue exactly; pop order ties are
