@@ -32,10 +32,14 @@ from ._stencil import (plan_tiles, to_planar_padded, from_planar,
                        halo_in_spec, tile_out_spec, stencil_call,
                        consts_in_spec)
 
-# compile-limit estimate: (32,512) at k=9 (69 taps) compiles on hardware,
-# so ~2.9 live tile-values per tap bounds what Mosaic actually materializes
-_VALS_PER_TAP = 2.9
-_VMEM_TEMP_BUDGET = 13 * 1024 * 1024
+# compile-limit estimate, measured on hardware (2026-08-19): the D2/D2b
+# bit-exact-twin kernel's (32,640)×49-tap program allocates 16.49 MiB of
+# scoped VMEM (4.31 live tile-values/tap — the double-rounding temps stay
+# live), 0.5 MiB over Mosaic's 16 MiB stack limit; (32,512)×49 (13.8 MiB)
+# compiles and passes parity.  Budget 15.5 MiB keeps (32,512) admissible
+# with ~1.7 MiB headroom over the measured usage.
+_VALS_PER_TAP = 4.35
+_VMEM_TEMP_BUDGET = int(15.5 * 1024 * 1024)
 MAX_UNROLL_TAPS = 120
 
 
