@@ -373,14 +373,13 @@ def main():
                         bad.append(("wexler-psnr-alone", float(p_ours)))
                 else:
                     p_ref = hole_psnr(ref, src)
-                    # −4 dB envelope: the Jacobi-chunked fill occasionally
-                    # settles a different (still good) local minimum than
-                    # the reference's sequential refill at the coarse
-                    # pyramid level — measured tail −3.6 dB with ours at
-                    # 28.9 dB absolute (PARITY.md D4, pinned case 150);
-                    # the hole-size-scaled energy chunks hold the rest of
-                    # the distribution within ±2 dB.
-                    if p_ours < p_ref - 4.0:
+                    # −2 dB envelope (tightened round 5): the multi-start
+                    # beam + pyramid-skip branch (models/inpainting.py)
+                    # recovered the round-4 coarse-level local-minimum
+                    # tail (case 150: −3.6 → −0.5 dB); the hole-size-
+                    # scaled energy chunks hold the rest of the
+                    # distribution within ±2 dB (PARITY.md D4).
+                    if p_ours < p_ref - 2.0:
                         bad.append(("wexler-psnr",
                                     (float(p_ours), float(p_ref))))
                     mutual = hole_psnr(ours, ref)

@@ -472,13 +472,17 @@ def test_wexler_small_hole_chunk_quality_vs_reference(oracle):
 
 
 def test_wexler_coarse_local_minimum_tail_vs_reference(oracle):
-    """Round-4 fuzz case 150: the documented D4 tail.  A 9×11 hole in a
-    lenna crop where the coarse-level Jacobi fill settles a different
-    (still good) local minimum than the reference's sequential refill —
-    measured 28.9 dB vs the reference's 32.4, insensitive to every chunk
-    cap (energy AND ring), and matching the reference within 0.5 dB when
-    the pyramid is disabled.  Pinned at the fuzz envelope (ref − 4 dB)
-    plus an absolute floor well above any real failure mode."""
+    """Round-4 fuzz case 150: the (former) D4 tail.  A 9×11 hole in a
+    lenna crop where the coarse-level Jacobi fill settled a different
+    local minimum than the reference's sequential refill — 28.9 dB vs the
+    reference's 32.4, insensitive to every chunk cap, and matching the
+    reference within 0.5 dB only with the pyramid disabled.  Round 5's
+    multi-start beam (models/inpainting.py: diffusion/dither inits at the
+    coarsest level + the PYRAMID-SKIP branch — a from-scratch exemplar
+    fill at each beamed level, competing on weighted energy) recovers it:
+    the skip branch wins layer 0 at energy 1.898e6 vs 2.123e6, measured
+    31.90 dB (ref − 0.53).  Pinned at the tightened fuzz envelope
+    (ref − 2 dB) plus an absolute floor above the old failure mode."""
     cv2 = pytest.importorskip("cv2")
     lenna = cv2.imread("/root/reference/sample_image/lenna.png")
     if lenna is None:
@@ -497,8 +501,8 @@ def test_wexler_coarse_local_minimum_tail_vs_reference(oracle):
     data = np.concatenate([img.reshape(-1), mask.reshape(-1)])
     ref = oracle("wexler", data, 64, 64, 64 * 64 * 3).reshape(64, 64, 3)
     p_ours, p_ref = hole_psnr(ours, img), hole_psnr(ref, img)
-    assert p_ours >= p_ref - 4.0, (p_ours, p_ref)
-    assert p_ours >= 26.0, p_ours
+    assert p_ours >= p_ref - 2.0, (p_ours, p_ref)
+    assert p_ours >= 30.0, p_ours
 
 
 def test_wexler_contour_priority_vs_reference(oracle):

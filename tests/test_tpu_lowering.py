@@ -86,12 +86,17 @@ def test_btf_iteration_lowers(border, rounding):
 
 
 def test_wexler_search_lowers():
-    """The fused matmul+argmin search kernel (flag-gated VIP_WEXLER_SEARCH)."""
+    """The fused matmul+argmin search kernel (flag-gated VIP_WEXLER_SEARCH).
+
+    The shape MUST give a multi-block candidate grid (nh > 1 AND nw > 1):
+    round 4's kernel lowered fine at nw == 1 (block dim == array dim) but
+    was rejected on hardware at mosaic_dog's nw == 6 — the per-block-minima
+    output layout violated Mosaic's (8, 128)-divisible-or-full rule."""
     from various_image_processings_tpu.ops.pallas.wexler_search import (
         search_min_pallas)
-    h = w = 48
+    h, w = 48, 192
     k = 13
-    n_cy = n_cx = w - (k - 1)
+    n_cy, n_cx = h - (k - 1), w - (k - 1)   # 36, 180 → nh=3, nw=2
     t = 64
     p117 = jnp.zeros((h, n_cx, 117), jnp.bfloat16)
     f13 = jnp.zeros((k, 117, t), jnp.bfloat16)

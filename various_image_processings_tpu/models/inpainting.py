@@ -85,17 +85,31 @@ RING_CAP = 256            # max ring targets batched per while-loop iteration
 ENERGY_CAP = 1024         # max targets per chunk in energy (non-initial)
                           # passes — larger batches amortize the search's
                           # ~1.9 ms fixed im2col cost (measured v5e)
+BEAM_MAX_DIM = 128        # multi-start beam runs on pyramid levels whose max
+                          # dim is ≤ this (they cost a negligible share of
+                          # the total; the top level of a bench-scale image
+                          # always runs exactly once)
 
 
 def _search_impl() -> str:
-    """Candidate-scan backend, read at TRACE time: "conv" (channel-packed
-    XLA conv + argmin, hardware-validated) or "pallas" (fused
+    """Candidate-scan backend, read at TRACE time: "pallas" (fused
     matmul+argmin, ops/pallas/wexler_search.py — keeps the (ncand, T)
-    energy matrix in VMEM).  Env VIP_WEXLER_SEARCH overrides; default conv
-    until the kernel is Mosaic-validated on hardware.  Changing the env
-    var mid-process does not retrace already-compiled passes."""
+    energy matrix in VMEM) or "conv" (channel-packed XLA conv + argmin).
+    Default pallas since the round-5 on-chip adjudication
+    (benchmarks/validate_wexler_search.py, v5e 2026-08-19): picks equal to
+    the conv path at T=256 and T=1024, search dispatch 4.49→1.67 ms
+    (T=256) and 18.98→6.96 ms (T=1024) — the ~2 GB/dispatch HBM round
+    trip of the materialized energy matrix gone — and the end-to-end
+    mosaic_dog 64² fill 0.52→0.44 s warm with a bit-identical result.
+    Env VIP_WEXLER_SEARCH overrides (the conv path stays the portable /
+    interpret-mode oracle; off-TPU the default resolves to conv — the
+    Pallas kernel would run in the slow interpreter there).  Changing the
+    env var mid-process does not retrace already-compiled passes."""
     import os
-    return os.environ.get("VIP_WEXLER_SEARCH", "conv")
+
+    from ..ops._dispatch import on_tpu
+    return os.environ.get("VIP_WEXLER_SEARCH",
+                          "pallas" if on_tpu() else "conv")
 
 
 # ---------------------------------------------------------------------------
@@ -463,9 +477,10 @@ def _energy_loops_device(image_u8, remained0, weight, height, width,
     fill only when its weighted energy strictly decreased, stopping on the
     first non-decrease or search failure (whose partial fill is discarded,
     PARITY.md D4).  Returns (final u8 image, energies (max_loop,) f32 —
-    NaN for passes that never ran).  One scalar sync per LEVEL instead of
-    per pass: each pass previously cost an axon round-trip (~28 ms × up to
-    5 passes × levels)."""
+    NaN for passes that never ran, final committed energy f32 — +inf when
+    no pass committed; the multi-start beam selects branches by it).  One
+    scalar sync per LEVEL instead of per pass: each pass previously cost
+    an axon round-trip (~28 ms × up to 5 passes × levels)."""
     rem_f = remained0.astype(jnp.float32)
     energies0 = jnp.full((max_loop,), jnp.nan, jnp.float32)
 
@@ -488,8 +503,55 @@ def _energy_loops_device(image_u8, remained0, weight, height, width,
 
     carry0 = (image_u8.astype(jnp.float32), jnp.float32(np.inf),
               jnp.int32(0), jnp.bool_(False), energies0)
-    img_f, _, _, _, energies = jax.lax.while_loop(cond, body, carry0)
-    return jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8), energies
+    img_f, cur_e, _, _, energies = jax.lax.while_loop(cond, body, carry0)
+    return jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8), energies, cur_e
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bbox_size",
+                                              "dither"))
+def _alt_init_device(image_u8, remained0, height, width,
+                     bbox_size: tuple, bbox_origin, dither: bool):
+    """Alternative coarsest-level initialization for the multi-start beam:
+    fill the hole with smooth Jacobi diffusion from its boundary (Wexler et
+    al.'s original EM initialization is a smooth interpolant; the
+    reference's onion-peel exemplar fill, :24-34, is one particular —
+    sometimes poor — starting basin).  ``dither`` adds a deterministic
+    per-pixel jitter (±12, coordinate-hashed) on top, giving the energy
+    loop a third, symmetry-broken basin.  Runs on the static hole bbox."""
+    bh, bw = bbox_size
+    by0, bx0 = bbox_origin
+    img = image_u8.astype(jnp.float32)
+    box_img = jax.lax.dynamic_slice(img, (by0, bx0, jnp.int32(0)),
+                                    (bh, bw, 3))
+    box_rem = jax.lax.dynamic_slice(remained0.astype(jnp.float32),
+                                    (by0, bx0), (bh, bw))
+    hole = box_rem > 0
+    known = 1.0 - box_rem
+    mean = ((box_img * known[:, :, None]).sum((0, 1))
+            / jnp.maximum(known.sum(), 1.0))
+    cur = jnp.where(hole[:, :, None], mean, box_img)
+
+    def step(_, cur):
+        p = jnp.pad(cur, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        s = jnp.zeros_like(cur)
+        for dy in range(3):
+            for dx in range(3):
+                s = s + p[dy : dy + bh, dx : dx + bw]
+        return jnp.where(hole[:, :, None], s * jnp.float32(1.0 / 9.0), cur)
+
+    cur = jax.lax.fori_loop(0, bh + bw, step, cur)
+    if dither:
+        yy = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        h32 = (yy + by0) * np.int32(92837111) ^ (xx + bx0) * np.int32(
+            689287499)  # i32 wrap is defined in XLA — a cheap coord hash
+        jit8 = ((jax.lax.shift_right_logical(h32, 8) % 25) - 12).astype(
+            jnp.float32)
+        cur = jnp.where(hole[:, :, None], cur + jit8[:, :, None], cur)
+    cur = jnp.where(hole[:, :, None], cur, box_img)
+    out = jax.lax.dynamic_update_slice(
+        img, cur, (by0, bx0, jnp.int32(0)))
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -505,11 +567,24 @@ class WexlerInpainting:
 
     def __init__(self, max_loop: int = MAX_LOOP,
                  pyramid_bottom_size: int = PYRAMID_BOTTOM_SIZE,
-                 verbose: bool = False, checkpoint_dir: str | None = None):
+                 verbose: bool = False, checkpoint_dir: str | None = None,
+                 multi_start: int = 3):
         self.max_loop = max_loop
         self.pyramid_bottom_size = pyramid_bottom_size
         self.verbose = verbose
         self.checkpoint_dir = checkpoint_dir
+        # multi-start beam width (1 disables): the coarsest level's fill is
+        # branched over `multi_start` initializations (reference-style
+        # onion-peel exemplar fill, smooth diffusion, dithered diffusion),
+        # each branch is refined through the cheap ≤BEAM_MAX_DIM levels,
+        # and the beam collapses to the lowest-weighted-energy branch
+        # before the first expensive level.  Deterministic (the dither is a
+        # coordinate hash).  Beyond-reference quality feature: round-4 fuzz
+        # found coarse-level Jacobi fills settling local minima up to
+        # 3.6 dB below the reference's sequential refill (PARITY.md D4) —
+        # energy-selected multi-start escapes those basins.  A resumed
+        # checkpoint continues single-branch from the saved state.
+        self.multi_start = multi_start
 
     def _log(self, *args):
         if self.verbose:
@@ -595,6 +670,8 @@ class WexlerInpainting:
                         srcs[i] = state[f"src_{i}"]
                     self._log(f"resuming from layer {start_layer}")
 
+        branches = None  # multi-start beam states at the current layer
+        branch_layer = None  # the layer the beam was created at
         for layer in range(start_layer, -1, -1):
             self._log(f"Layer {layer}...")
             hole = masks[layer] > 0
@@ -615,6 +692,16 @@ class WexlerInpainting:
                 else:
                     img_dev = filled
                     do_initial = False
+                    if (self.multi_start > 1 and hole.any()
+                            and max(hole.shape) <= BEAM_MAX_DIM):
+                        branches = [img_dev]
+                        branch_layer = layer
+                        for dither in (False, True)[: self.multi_start - 1]:
+                            branches.append(_alt_init_device(
+                                jnp.asarray(srcs[layer]), hole_dev,
+                                *hole.shape, bbox_size=bbox[0],
+                                bbox_origin=jnp.asarray(bbox[1], jnp.int32),
+                                dither=dither))
 
             # the whole ≤max_loop energy loop runs on device; the energies
             # come back for logging in one sync with the final image.
@@ -639,10 +726,44 @@ class WexlerInpainting:
             else:
                 ecap = max(RING_CAP,
                            min(ENERGY_CAP, -(-nhole // 256) * 256))
-            img_dev, energies = _energy_loops_device(
-                img_dev, hole_dev, weight_dev, *hole.shape,
-                max_loop=self.max_loop, cap=ecap, bbox_size=bbox[0],
-                bbox_origin=jnp.asarray(bbox[1], jnp.int32))
+            cand_states = branches if branches is not None else [img_dev]
+            if branches is not None and layer != branch_layer and hole.any():
+                # the "pyramid-skip" branch: a from-scratch onion-peel
+                # exemplar fill AT THIS LEVEL (the upsampled hole content is
+                # ignored — rem marks it unknown), competing on energy with
+                # the coarse-seeded branches.  Round-4 fuzz case 150's
+                # coarse-level local minimum matched the reference only with
+                # the pyramid disabled — this branch makes that basin
+                # reachable without a global mode switch.  Stays async (the
+                # initial fill's failure case simply loses the selection).
+                fresh, _fe = _fill_pass_device(
+                    img_dev, hole_dev, weight_dev, *hole.shape, True,
+                    bbox_size=bbox[0],
+                    bbox_origin=jnp.asarray(bbox[1], jnp.int32))
+                cand_states = branches + [fresh]
+            results = []
+            for b in cand_states:
+                results.append(_energy_loops_device(
+                    b, hole_dev, weight_dev, *hole.shape,
+                    max_loop=self.max_loop, cap=ecap, bbox_size=bbox[0],
+                    bbox_origin=jnp.asarray(bbox[1], jnp.int32)))
+            if len(results) == 1:
+                img_dev, energies = results[0][0], results[0][1]
+            else:
+                # branch selection ON DEVICE (a host sync here would break
+                # the level loop's async stream — each costs an axon round
+                # trip): lowest final committed weighted energy; argmin's
+                # first-occurrence tie-break gives the reference-style
+                # branch (index 0) priority on ties and on all-failed +inf
+                fins = jnp.stack([r[2] for r in results])
+                best = jnp.argmin(fins)
+                img_dev = jnp.stack([r[0] for r in results])[best]
+                energies = jnp.stack([r[1] for r in results])[best]
+                if self.verbose:  # sync is acceptable in debug mode
+                    self._log("  multi-start energies: "
+                              + ", ".join(f"{float(e):.6g}"
+                                          for e in np.asarray(fins))
+                              + f" -> branch {int(best)}")
             srcs[layer] = img_dev   # device-resident; no per-level download
             if self.verbose:
                 for i, e in enumerate(np.asarray(energies)):
@@ -656,10 +777,21 @@ class WexlerInpainting:
                 # are the coarsest level's initial-fill energy scalar and
                 # the final download (per-level downloads/pyrUp round trips
                 # cost ~0.3 s of mosaic_dog wall time through the tunnel)
-                up = pyr_up(img_dev, out_shape=masks[layer - 1].shape[:2])
                 hole_next = jnp.asarray(masks[layer - 1] > 0)
-                srcs[layer - 1] = jnp.where(hole_next[:, :, None], up,
-                                            jnp.asarray(srcs[layer - 1]))
+                base_next = jnp.asarray(srcs[layer - 1])
+
+                def lift(b):
+                    up = pyr_up(b, out_shape=masks[layer - 1].shape[:2])
+                    return jnp.where(hole_next[:, :, None], up, base_next)
+
+                if (branches is not None
+                        and max(masks[layer - 1].shape) <= BEAM_MAX_DIM):
+                    # next level is still cheap: carry the whole beam up
+                    branches = [lift(r[0]) for r in results]
+                    srcs[layer - 1] = lift(img_dev)  # = best branch, lifted
+                else:
+                    branches = None
+                    srcs[layer - 1] = lift(img_dev)
 
             if ckpt_path is not None:
                 np.savez(ckpt_path, num_layers=num_layers,

@@ -9,11 +9,16 @@ include/cpp/wexler_inpainting.hpp:220-269).
 
 This kernel never materializes the energy matrix: a (16-row × 128-col)
 candidate block's energies live in VMEM, are reduced to a per-target
-(min, first-raster-flat-index) pair on the spot, and only the (nh, nw, T)
-per-block minima go to HBM (~KBs).  Blocks combine OUTSIDE in XLA by
-lexicographic (energy, flat index) min — order-independent and identical
-to the conv path's first-minimum raster tie-break (the reference's
-ascending y/x scan).
+(min, first-raster-flat-index) pair on the spot, and blocks combine by
+lexicographic (energy, flat index) min INSIDE the kernel across grid
+steps (all (i, j) steps revisit one (1, 1, T) output block that stays
+resident in VMEM — the Pallas reduction-revisit pattern; Mosaic rejects
+a (1, 1, T) block over an (nh, nw, T) array because the middle block dim
+is neither 8-divisible nor the full dim, which is how round 4's
+per-block-minima layout died on hardware).  The combine is
+order-independent and identical to the conv path's first-minimum raster
+tie-break (the reference's ascending y/x scan); only the final (1, 1, T)
+pair ever goes to HBM.
 
 Candidate VALIDITY (window must not touch the hole) rides the contraction:
 the 117 packed channels are padded to 128 and channel 117 carries a 1e30
@@ -23,11 +28,15 @@ back to +inf outside.  Valid candidates see exact zeros there, so the
 energies are bit-identical to an unpadded contraction, and the kernel body
 is nothing but dots and min/argmin updates.
 
-Gated by ``models/inpainting.py _SEARCH_IMPL`` (env VIP_WEXLER_SEARCH),
-default "conv" until hardware-validated: bit-level energy sums can differ
-from the conv path by f32 summation order (both are exact-product bf16→f32
-schemes; sums > 2²⁴ round), so picks may differ on exact-tie candidates —
-the same divergence class as conv-vs-reference (PARITY.md D4).
+Selected by ``models/inpainting.py _search_impl`` (env VIP_WEXLER_SEARCH),
+DEFAULT on TPU since the round-5 on-chip adjudication
+(benchmarks/validate_wexler_search.py, v5e 2026-08-19): picks equal to the
+conv path at T=256/1024, dispatch 4.49→1.67 ms (T=256) and 18.98→6.96 ms
+(T=1024), end-to-end mosaic_dog 0.52→0.44 s with a bit-identical fill.
+Divergence class (possible in principle, not observed): bit-level energy
+sums can differ from the conv path by f32 summation order (both are
+exact-product bf16→f32 schemes; sums > 2²⁴ round), so picks may differ on
+exact-tie candidates — the same class as conv-vs-reference (PARITY.md D4).
 """
 
 from __future__ import annotations
@@ -57,6 +66,15 @@ def _make_kernel(window: int, n_cx: int):
     def kernel(p_ref, f_ref, eout_ref, iout_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
+
+        # every (i, j) grid step revisits the SAME output block (index map
+        # depends only on the target-block id): initialize it on the first
+        # visit, then fold this block's minima in lexicographically
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            eout_ref[...] = jnp.full(eout_ref.shape, _PENALTY, jnp.float32)
+            iout_ref[...] = jnp.full(iout_ref.shape, _BIG_I, jnp.int32)
+
         # global raster flat index of candidate (row ROW_BLK·i+by, col
         # COL_BLK·j+x) in the TRUE candidate grid — the tie-break key
         base = (i * ROW_BLK) * n_cx + j * COL_BLK
@@ -79,8 +97,12 @@ def _make_kernel(window: int, n_cx: int):
             better = (rmin < run_e) | ((rmin == run_e) & (rarg < run_i))
             run_e = jnp.where(better, rmin, run_e)
             run_i = jnp.where(better, rarg, run_i)
-        eout_ref[0, 0, :] = run_e[0]
-        iout_ref[0, 0, :] = run_i[0]
+        cur_e = eout_ref[0, 0, :]
+        cur_i = iout_ref[0, 0, :]
+        better = (run_e[0] < cur_e) | ((run_e[0] == cur_e)
+                                       & (run_i[0] < cur_i))
+        eout_ref[0, 0, :] = jnp.where(better, run_e[0], cur_e)
+        iout_ref[0, 0, :] = jnp.where(better, run_i[0], cur_i)
 
     return kernel
 
@@ -129,8 +151,7 @@ def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
     blk_rows = ROW_BLK + (k - 1)
     cost = pl.CostEstimate(
         flops=2 * k * K_PAD * tp * nh * ROW_BLK * nw * COL_BLK,
-        bytes_accessed=(nt * hp * wp * K_PAD * 2
-                        + nt * nh * nw * T_BLK * 8),
+        bytes_accessed=nt * hp * wp * K_PAD * 2 + tp * 8,
         transcendentals=0,
     )
     e_blk, i_blk = pl.pallas_call(
@@ -146,25 +167,24 @@ def search_min_pallas(p117, f13, valid, window: int, height: int, width: int):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, T_BLK), lambda tb, i, j: (i, j, tb),
+            # one (1, 1, T_BLK) block per target-block, revisited by every
+            # (i, j) step — last two dims (1, T_BLK) match (1, tp) under
+            # Mosaic's (8, 128)-divisible-or-full rule
+            pl.BlockSpec((1, 1, T_BLK), lambda tb, i, j: (0, 0, tb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T_BLK), lambda tb, i, j: (i, j, tb),
+            pl.BlockSpec((1, 1, T_BLK), lambda tb, i, j: (0, 0, tb),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nh, nw, tp), jnp.float32),
-            jax.ShapeDtypeStruct((nh, nw, tp), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, tp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, tp), jnp.int32),
         ],
         interpret=pallas_interpret(),
         cost_estimate=cost,
     )(p117p, f13p)
 
-    # combine blocks lexicographically by (energy, raster flat index):
-    # identical to the conv path's first-minimum raster tie-break.
     # Energies ≥ 1e29 are penalty hits (no valid candidate) → +inf.
-    e_flat = e_blk.reshape(nh * nw, tp)[:, :t]
-    i_flat = i_blk.reshape(nh * nw, tp)[:, :t]
-    emin = jnp.min(e_flat, axis=0)
-    idx = jnp.min(jnp.where(e_flat == emin[None, :], i_flat, _BIG_I), axis=0)
+    emin = e_blk[0, 0, :t]
+    idx = i_blk[0, 0, :t]
     emin = jnp.where(emin >= np.float32(1e29), jnp.float32(np.inf), emin)
     return emin, jnp.clip(idx, 0, n_cy * n_cx - 1)
