@@ -9,8 +9,14 @@ over every reachable (box, k²) pair and a random dividend sweep:
 
   * how many quotients differ from IEEE-RN, and by how many ulp;
   * whether the XLA graph and the Mosaic kernel agree with each other;
-  * the worst downstream effect: does floor()/int-cast of the quotient
-    ever flip (the only consumer the ABF index path has)?
+  * the DIRECT int-cast flip count of the raw quotient — a LOWER bound
+    on downstream index flips (the real ABF consumer floors an L1 sum of
+    |(p−c) − (c − box/k²)| terms, where a 1-ulp quotient error can flip
+    the truncated index even when the direct cast does not);
+  * the COMPOSED-expression flip rate: the full D2 index sequence
+    (offset subtraction → per-tap L1 sum → floor) evaluated on-device
+    with the device quotient vs on-host with the IEEE-RN quotient, over
+    random u8 neighborhoods — the downstream effect itself.
 
 Output feeds the PARITY.md D2c envelope and the re-scoped hw_parity
 bounds.  Run (exclusive TPU client): python benchmarks/diag_tpu_division.py
@@ -82,6 +88,44 @@ def main() -> int:
         agree = int((got_x.view(np.int32) != got_p.view(np.int32)).sum())
         print(f"k={k:2d} xla-vs-pallas disagreement: {agree}/{box.size}",
               flush=True)
+
+    # COMPOSED D2 index sequence (ADVICE r4): offset subtraction → L1 sum
+    # → floor, with random u8 (p, c) neighborhoods and every box reachable
+    # — the quantity the ABF kernel actually consumes.  Host = IEEE-RN
+    # division; device = the hardware quotient; every other op in the
+    # chain is exact-or-identically-rounded IEEE on the VPU, so any floor
+    # flip here is the division's downstream effect.
+    for k in (3, 9, 15):
+        k2 = np.float32(k * k)
+        n = 1 << 20
+        rng = np.random.default_rng(k)
+        p = rng.integers(0, 256, (3, n)).astype(np.float32)
+        c = rng.integers(0, 256, (3, n)).astype(np.float32)
+        box = rng.integers(0, int(255 * k * k) + 1, (3, n)).astype(np.float32)
+
+        def host_idx():
+            o = c - (box / k2).astype(np.float32)  # numpy f32 div is IEEE-RN
+            t = (np.abs((p[0] - c[0]) - o[0])
+                 + np.abs((p[1] - c[1]) - o[1])).astype(np.float32)
+            t = (t + np.abs((p[2] - c[2]) - o[2])).astype(np.float32)
+            return t.astype(np.int32)
+
+        @jax.jit
+        def dev_idx(pj, cj, bj, kk=float(k2)):
+            kb = jax.lax.optimization_barrier(jnp.float32(kk))
+            o = cj - bj / kb
+            t = (jnp.abs((pj[0] - cj[0]) - o[0])
+                 + jnp.abs((pj[1] - cj[1]) - o[1]))
+            t = t + jnp.abs((pj[2] - cj[2]) - o[2])
+            return t.astype(jnp.int32)
+
+        want_i = host_idx()
+        got_i = np.asarray(dev_idx(jnp.asarray(p), jnp.asarray(c),
+                                   jnp.asarray(box)))
+        flips = int((want_i != got_i).sum())
+        print(f"k={k:2d} composed-index flips: {flips}/{n} "
+              f"({flips / n:.2e}; max |Δidx| "
+              f"{int(np.abs(want_i - got_i).max())})", flush=True)
 
     # random-dividend sweep at full f32 dynamic range of the BTF stage
     # divisors (3 and k² ≤ 441): how big can the quotient error get?

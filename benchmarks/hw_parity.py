@@ -52,13 +52,26 @@ def main() -> int:
     d = np.abs(out.astype(int) - g.astype(int)).max()
     ok &= check("abf_512", d <= 1, f"max {d} (bound 1)")
 
-    # ABF index twin (PARITY.md D2): fl(box/k²) must be bit-equal to the
-    # host's IEEE-RN division for EVERY reachable box value — on the real
-    # chip, through BOTH the XLA graph and the compiled Mosaic kernel
-    # (optimization_barrier + true divide; exercises the Mosaic lowering
-    # the CPU interpret tests cannot).
+    # ABF index twin, TPU scope (PARITY.md D2c): the chip has NO IEEE f32
+    # divider (Newton-refined reciprocal-multiply), so fl(box/k²) is NOT
+    # bit-equal to the host's IEEE-RN quotient on hardware — the measured
+    # envelope (2026-08-19, benchmarks/diag_tpu_division.py) is what this
+    # asserts for EVERY reachable box value, through BOTH the XLA graph
+    # and the compiled Mosaic kernel: quotients within 2 ulp of IEEE-RN,
+    # XLA and Mosaic bit-identical to each other (same hardware op — the
+    # two device paths cannot diverge), and zero direct int-cast flips.
+    # (The bit-exact D2 claim holds on IEEE-divider hosts, where the
+    # golden suite verifies it exhaustively — tests/test_bilateral.py.)
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    def ulp_diff(a, b):
+        ai = a.view(np.int32).astype(np.int64)
+        bi = b.view(np.int32).astype(np.int64)
+        ai = np.where(ai < 0, np.int64(-0x80000000) - ai, ai)
+        bi = np.where(bi < 0, np.int64(-0x80000000) - bi, bi)
+        return np.abs(ai - bi)
+
     div_ok = True
     detail = []
     for k in (3, 9, 15):
@@ -72,7 +85,6 @@ def main() -> int:
             return x / kb
 
         got = np.asarray(xla_div(jnp.asarray(box)))
-        x_eq = np.array_equal(want, got)
 
         # the divisor rides an SMEM operand barriered OUTSIDE the kernel —
         # Mosaic cannot lower a kernel-side optimization_barrier
@@ -94,11 +106,15 @@ def main() -> int:
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(boxp.shape, jnp.float32),
         )(jnp.asarray(boxp), kop)).reshape(-1)[: box.size]
-        p_eq = np.array_equal(want, got_p)
-        div_ok &= x_eq and p_eq
-        detail.append(f"k={k} xla={'ok' if x_eq else 'NE'} "
-                      f"pallas={'ok' if p_eq else 'NE'}")
-    ok &= check("abf_division_exhaustive", div_ok, "; ".join(detail))
+
+        u_x = int(ulp_diff(want, got).max())
+        u_p = int(ulp_diff(want, got_p).max())
+        agree = np.array_equal(got.view(np.int32), got_p.view(np.int32))
+        flips = int((want.astype(np.int32) != got.astype(np.int32)).sum())
+        div_ok &= u_x <= 2 and u_p <= 2 and agree and flips == 0
+        detail.append(f"k={k} ulp x/p {u_x}/{u_p} agree={agree} "
+                      f"flips={flips}")
+    ok &= check("abf_division_envelope_d2c", div_ok, "; ".join(detail))
 
     # D2b grid rounding must survive compilation on-chip (the simplifier
     # folds (v+C)−C → v for literal C; the kernels barrier C)
@@ -182,13 +198,15 @@ def main() -> int:
                 f"max {d.max()} (bound 46), p99.9 {p999:.1f} (bound 5), "
                 f"exact {(d == 0).mean():.4f}")
 
-    # BTF stage true-division twin on-chip (PARITY.md D1b, fuzz case 100):
-    # the jitted xla stage's barriered /3 and /k² divisions must keep the
-    # box blur BIT-EXACT vs golden (integer sums / k² — exact iff the
-    # division stays a true IEEE-RN divide) and rtv within the hardware
-    # envelope (TPU mul/div transcendental-free, ≤2e-6 rel per the parity
-    # table).  Exercises the same lowering the abf_division check pins,
-    # but through the real stage kernel on the fuzz-failure image.
+    # BTF stage true-division twin on-chip (PARITY.md D1b + D2c, fuzz case
+    # 100): the jitted xla stage's barriered /3 and /k² divisions keep the
+    # box blur bit-exact ON IEEE-DIVIDER HOSTS; on the chip the blur sits
+    # inside the D2c division envelope (integer sums / k², quotient ≤2 ulp
+    # — blur values ≤255, so ≤2 ulp ≈ 6.1e-5 abs) and rtv within the
+    # hardware envelope (≤2e-6 rel per the parity table).  The barrier is
+    # still load-bearing on-chip: it blocks the COMPILE-TIME
+    # reciprocal-multiply strength-reduction, which measured far worse
+    # (systematic 1-ulp skew flipping guide argmins, D1b).
     from various_image_processings_tpu.ops.bilateral_texture import (
         _blur_and_rtv_math)
     case = np.load(os.path.join(os.path.dirname(__file__), "..", "tests",
@@ -198,11 +216,11 @@ def main() -> int:
     blur_g, rtv_g = golden.compute_blur_and_rtv(img100, mag_g, 9)
     blur_t, rtv_t = jax.jit(lambda s, m: _blur_and_rtv_math(s, m, 9))(
         jnp.asarray(img100, jnp.float32), jnp.asarray(mag_g))
-    blur_eq = np.array_equal(np.asarray(blur_t), blur_g)
+    blur_ulp = int(ulp_diff(blur_g, np.asarray(blur_t)).max())
     rtv_rel = float(np.abs(np.asarray(rtv_t) - rtv_g).max()
                     / max(np.abs(rtv_g).max(), 1e-12))
-    ok &= check("btf_stage_division", blur_eq and rtv_rel <= 2e-6,
-                f"blur {'bit-exact' if blur_eq else 'DIVERGES'}, "
+    ok &= check("btf_stage_division", blur_ulp <= 2 and rtv_rel <= 2e-6,
+                f"blur ulp {blur_ulp} (bound 2, D2c), "
                 f"rtv rel {rtv_rel:.2e} (bound 2e-6)")
 
     return 0 if ok else 1

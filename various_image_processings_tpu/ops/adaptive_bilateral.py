@@ -41,12 +41,15 @@ def _abf_math(src_u8: jax.Array, ksize: int, sigma_space: float,
 
     # The C++ range index is int(Σ_ch |(p−c) − (c − box/k²)|) with f32
     # rounding at every step (:41-45).  We replicate that f32 sequence
-    # EXACTLY: every input is an exact-in-f32 integer, sub/add are IEEE
-    # correctly rounded on every XLA backend, the 3-term L1 sum is added in
-    # the C++ order, and the one risky op — the box/k² division — is
-    # exhaustively verified correctly-rounded for every reachable (box, k)
-    # pair (tests/test_bilateral.py::test_abf_box_mean_division_exhaustive;
-    # benchmarks/hw_parity.py replays the check on the real chip).  A
+    # EXACTLY on IEEE-divider hosts: every input is an exact-in-f32
+    # integer, sub/add are IEEE correctly rounded on every XLA backend,
+    # the 3-term L1 sum is added in the C++ order, and the one risky op —
+    # the box/k² division — is exhaustively verified correctly-rounded for
+    # every reachable (box, k) pair on XLA-CPU
+    # (tests/test_bilateral.py::test_abf_box_mean_division_exhaustive).
+    # On the TPU itself the divide has no IEEE unit and lands within the
+    # measured ≤2-ulp D2c envelope (PARITY.md D2c;
+    # benchmarks/hw_parity.py asserts those bounds on the real chip).  A
     # previous revision computed the index in exact integer arithmetic
     # instead; at small σ_color the Gaussian is steep enough that its
     # boundary flips (f32 sequence a few ulp below an integer the exact

@@ -10,14 +10,18 @@ plane, half the HBM traffic.  The in-tile box sum is separable (k row adds
 + k column adds instead of k² adds), exact in f32 (all intermediates are
 integers < 2²⁴).
 
-The range index is a bit-exact twin of the C++ f32 sequence
-(include/cpp/adaptive_bilateral_filter.hpp:41-45, :54-56): offset =
-c − fl(box/k²) per pixel, per tap |((p−c) − offset)| L1-summed in the C++
-order and truncated.  Every op is IEEE-RN f32; the one risky op, the
-box/k² division, is exhaustively verified correctly-rounded on-chip for
-every reachable box value (benchmarks/hw_parity.py).  See
-ops/adaptive_bilateral.py for why the cheaper exact-integer index was
-abandoned (truncation-boundary flips × steep small-σ_color Gaussians).
+The range index is a bit-exact twin of the C++ f32 sequence ON HOSTS
+WITH AN IEEE f32 DIVIDER (include/cpp/adaptive_bilateral_filter.hpp:41-45,
+:54-56): offset = c − fl(box/k²) per pixel, per tap |((p−c) − offset)|
+L1-summed in the C++ order and truncated.  Every op is IEEE-RN f32 except
+— on the TPU itself — the box/k² division: the chip has no IEEE divider,
+and the measured envelope (PARITY.md D2c, benchmarks/diag_tpu_division.py
+2026-08-19) is quotients ≤2 ulp off IEEE-RN, XLA and Mosaic bit-identical
+to each other, composed-index flips ≤2e-3 with |Δidx| ≤ 1 — end-to-end
+inside the documented u8 envelopes (benchmarks/hw_parity.py asserts
+exactly these bounds on-chip).  See ops/adaptive_bilateral.py for why the
+cheaper exact-integer index was abandoned (truncation-boundary flips ×
+steep small-σ_color Gaussians).
 """
 
 from __future__ import annotations
@@ -35,10 +39,13 @@ from ._stencil import (plan_tiles, to_planar_padded, from_planar,
 # compile-limit estimate, measured on hardware (2026-08-19): the D2/D2b
 # bit-exact-twin kernel's (32,640)×49-tap program allocates 16.49 MiB of
 # scoped VMEM (4.31 live tile-values/tap — the double-rounding temps stay
-# live), 0.5 MiB over Mosaic's 16 MiB stack limit; (32,512)×49 (13.8 MiB)
-# compiles and passes parity.  Budget 15.5 MiB keeps (32,512) admissible
-# with ~1.7 MiB headroom over the measured usage.
-_VALS_PER_TAP = 4.35
+# live), 0.5 MiB over Mosaic's 16 MiB stack limit; (32,512)×49 (13.8 MiB
+# = 4.51 vals/tap, the WORST measured per-tap ratio) compiles and passes
+# parity.  Calibrating the linear model to that worst ratio guarantees
+# every tile the 15.5 MiB budget admits stays under the 16 MiB limit for
+# the whole reachable tap range (at 4.35 a 45-tap case could admit
+# (32,640) and land within rounding error of the limit — ADVICE r4).
+_VALS_PER_TAP = 4.51
 _VMEM_TEMP_BUDGET = int(15.5 * 1024 * 1024)
 MAX_UNROLL_TAPS = 120
 
@@ -47,8 +54,11 @@ def _pick_tile(n_taps: int, width: int):
     """Width-aware tile choice, measured on hardware (k=9, chain-slope):
     whole-width tiles kill the halo/alignment padding waste on narrow
     images (lenna 512²: (32,512) → 931 MP/s vs ~360 with a 384 tile that
-    pads 512→768 columns); at 4K (32,640) measures 962 MP/s vs ~857 for
-    (32,384/512) (same-process interleaved)."""
+    pads 512→768 columns).  NB the 4K k=9 numbers predate the D2/D2b
+    VMEM budget: (32,640) measured 962 MP/s vs ~857 for (32,384/512) on
+    the pre-rework 21-op kernel, but at 49 taps × 24 ops the budget now
+    admits at most (32,512) — benchmarks/revalidate_abf.py records the
+    throughput of the tile actually selected."""
     from ...core.pad import round_up
     budget_elems = _VMEM_TEMP_BUDGET / (4.0 * _VALS_PER_TAP * n_taps)
     w128 = round_up(width, 128)
@@ -87,10 +97,11 @@ def _make_kernel(plan, taps, ksize, coeff):
         c2 = src_ref[2, r : r + th, r : r + tw]
         # Per-pixel offset c − box/k² with the C++'s f32 rounding sequence
         # (include/cpp/adaptive_bilateral_filter.hpp:54-56).  TRUE division
-        # only — correctly-rounded div is load-bearing twice here:
-        # reciprocal-multiply flips u8 parity (CLAUDE.md), and the index
-        # twin below needs fl(box/k²) bit-equal to the host's (verified
-        # exhaustively for every reachable box on-chip, hw_parity.py).
+        # only — the COMPILE-TIME reciprocal-multiply strength-reduction
+        # (1 ulp off, flips u8 parity — CLAUDE.md) must stay blocked; the
+        # HARDWARE itself then evaluates the divide within the measured
+        # ≤2-ulp D2c envelope (no IEEE divider on TPU; bit-exact on
+        # IEEE-divider hosts — hw_parity.py asserts the on-chip bounds).
         # The constants arrive as an SMEM OPERAND (barriered in the
         # wrapper): as runtime data neither XLA nor Mosaic can
         # strength-reduce the divide into a reciprocal-multiply (literal
