@@ -89,6 +89,24 @@ def test_joint_bilateral_batched_and_sharded():
     np.testing.assert_array_equal(sh, single)
 
 
+@pytest.mark.parametrize("batch,spatial,b", [(4, 2, 4), (2, 4, 6)])
+def test_joint_bilateral_batch_spatial_bit_exact(batch, spatial, b):
+    # the deepest two-operand sharding: batch × spatial in ONE program,
+    # image AND guide rows each halo-exchanged along the spatial ring
+    from various_image_processings_tpu.parallel import (
+        joint_bilateral_filter_batch_spatial)
+    from various_image_processings_tpu.ops.bilateral import joint_bilateral_filter
+    imgs = batch_images(b, 32, 32)
+    guides = batch_images(b, 32, 32)[::-1].copy()
+    mesh = make_mesh(batch=batch, spatial=spatial)
+    out = np.asarray(joint_bilateral_filter_batch_spatial(
+        imgs, guides, 9, 10.0, 30.0, mesh=mesh, impl="xla"))
+    for i in range(b):
+        single = np.asarray(joint_bilateral_filter(
+            imgs[i], guides[i], 9, 10.0, 30.0, impl="xla"))
+        np.testing.assert_array_equal(out[i], single)
+
+
 def test_slic_batched_matches_per_image():
     from various_image_processings_tpu.parallel import superpixel_slic_batched
     from various_image_processings_tpu.ops.slic import superpixel_slic

@@ -13,6 +13,7 @@ from .batch import adaptive_bilateral_filter_batched as adaptive_bilateral_filte
 from .batch import gradient_batched as gradient_batched
 from .batch import joint_bilateral_filter_batched as joint_bilateral_filter_batched
 from .batch import bilateral_filter_batch_spatial as bilateral_filter_batch_spatial
+from .batch import joint_bilateral_filter_batch_spatial as joint_bilateral_filter_batch_spatial
 from .batch import superpixel_slic_batched as superpixel_slic_batched
 from .batch import inpainting_wexler_batched as inpainting_wexler_batched
 from .spatial import halo_exchange_rows as halo_exchange_rows

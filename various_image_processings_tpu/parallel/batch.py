@@ -379,3 +379,71 @@ def _cached_batch_spatial_runner(ksize: int, sigma_space: float,
         return jnp.stack([one(local[i]) for i in range(local.shape[0])])
 
     return run
+
+
+def joint_bilateral_filter_batch_spatial(images, guides, ksize: int = 9,
+                                         sigma_space: float = 10.0,
+                                         sigma_color: float = 30.0,
+                                         mesh: Mesh | None = None,
+                                         impl: str = "auto"):
+    """(B, H, W, 3) u8 images + guides → (B, H, W, 3) u8 over BOTH mesh
+    axes in ONE program: the deepest two-operand sharding — batch shards
+    over the mesh's batch axis AND each image's/guide's rows shard over the
+    spatial axis with ppermute halo exchange for both operands.
+    Bit-identical to the single-device op (twin of the reference's
+    guide-keyed kernel, include/cpp/bilateral_filter.hpp:126, at a scale
+    the reference cannot reach)."""
+    from ..ops._dispatch import resolve_impl
+    from .mesh import SPATIAL_AXIS
+
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh()
+    impl = resolve_impl(impl)
+    if images.shape != guides.shape:
+        raise ValueError("images and guides shapes differ")
+    nbatch = mesh.shape[BATCH_AXIS]
+    d = mesh.shape[SPATIAL_AXIS]
+    b, h = images.shape[0], images.shape[1]
+    if b % nbatch != 0:
+        raise ValueError(f"batch {b} not divisible by mesh batch axis {nbatch}")
+    if h % d != 0:
+        raise ValueError(f"image rows {h} not divisible by spatial axis {d}")
+    radius = int(ksize) // 2
+    if h // d < radius:
+        raise ValueError(f"shard height {h // d} smaller than halo {radius}")
+    runner = _cached_jbf_batch_spatial_runner(
+        int(ksize), float(sigma_space), float(sigma_color), impl, mesh)
+    return runner(images, guides)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_jbf_batch_spatial_runner(ksize: int, sigma_space: float,
+                                     sigma_color: float, impl: str,
+                                     mesh: Mesh):
+    import jax.numpy as jnp
+
+    from ..ops.bilateral import _jbf_jit
+    from .mesh import SPATIAL_AXIS
+    from .spatial import halo_exchange_rows
+
+    radius = ksize // 2
+    d = mesh.shape[SPATIAL_AXIS]
+    spec = P(BATCH_AXIS, SPATIAL_AXIS, None, None)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=spec, check_vma=False)
+    def run(local, local_guide):  # (b_local, h_local, W, 3) each
+        def one(img_rows, g_rows):
+            p = halo_exchange_rows(img_rows, radius, SPATIAL_AXIS, d)
+            pg = halo_exchange_rows(g_rows, radius, SPATIAL_AXIS, d)
+            out = _jbf_jit(p, pg, ksize, sigma_space, sigma_color, impl)
+            return out[radius : radius + img_rows.shape[0]]
+
+        # uniform local batch size on every device → the ppermutes inside
+        # the loop stay collective-uniform across the mesh
+        return jnp.stack([one(local[i], local_guide[i])
+                          for i in range(local.shape[0])])
+
+    return run
