@@ -1,11 +1,19 @@
 #!/bin/bash
-# Unattended trigger for the round-4 hardware evidence chain: wait for the
+# Unattended trigger for the hardware evidence chain: wait for the
 # tunnel watcher to report UP (/tmp/tpu_status.txt), wait for any running
 # pytest to finish (CPU contention corrupts TPU timings — CLAUDE.md), then
 # run run_evidence_chain.sh.  On failure (tunnel flap mid-chain) the
 # watcher is restarted and the chain retries, up to 5 attempts.
+# VIP_ROUND (default 05) names the artifacts: EVIDENCE_r$VIP_ROUND.md and
+# BENCH_DETAILS_r$VIP_ROUND.json.  Round-4 postmortem: the running copy of
+# this script predated the EVIDENCE-writing code, so the chain completed
+# (rc=0) but never committed the artifact its commit message named — the
+# snapshot block below is now the committed source of truth, and it always
+# writes the file BEFORE git add so the two can't diverge again.
 set -u
 cd "$(dirname "$0")/.."
+VIP_ROUND="${VIP_ROUND:-05}"
+export VIP_ROUND
 mkdir -p /tmp/evidence
 LOCK=/tmp/evidence/chain.lock
 attempts=0
@@ -45,18 +53,18 @@ import jax; d = jax.devices(); assert d and d[0].platform == 'tpu', d
         # the evidence artifacts, in case no interactive session is alive
         # when the tunnel finally returns.
         {
-          echo "# Round-4 hardware evidence chain (unattended run)"
+          echo "# Round-$VIP_ROUND hardware evidence chain (unattended run)"
           echo
           echo "Chain rc=$rc after $attempts attempt(s), $(date -u +%Y-%m-%dT%H:%M:%SZ)."
           echo "Stages: revalidate_abf -> hw_parity -> validate_wexler_search ->"
-          echo "baseline_configs (BENCH_DETAILS_r04.json) -> bench.py."
+          echo "baseline_configs (BENCH_DETAILS_r$VIP_ROUND.json) -> bench.py."
           for lg in abf hwparity wexsearch matrix bench; do
             echo; echo "## $lg (tail)"; echo '```'
             tail -30 /tmp/evidence/$lg.log 2>/dev/null
             echo '```'
           done
-        } > EVIDENCE_r04.md
-        git add EVIDENCE_r04.md BENCH_DETAILS.json BENCH_DETAILS_r04.json 2>/dev/null
+        } > "EVIDENCE_r$VIP_ROUND.md"
+        git add "EVIDENCE_r$VIP_ROUND.md" BENCH_DETAILS.json "BENCH_DETAILS_r$VIP_ROUND.json" 2>/dev/null
         git commit -q -m "Hardware evidence chain: on-chip revalidation + benchmark matrix (rc=$rc)" || true
         exit $rc
       fi

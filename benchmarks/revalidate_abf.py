@@ -3,10 +3,12 @@
 Run after any change to the ABF index/weight path: checks Mosaic still
 compiles the kernel, parity holds on hardware (±1 vs golden at standard σ,
 a few-u8 TPU-exp2 wiggle on the adversarial small-σ fuzz cases — CPU
-measures bit-exact there), and re-measures 4K throughput.  Audit: the
-round-4 fidelity rework pays 24 ops/tap (bit-exact C++ f32 index sequence
-+ double-rounded weight twin, DESIGN.md "VPU ceiling") → projects ~860
-MP/s at 4K vs the pre-rework 980.
+measures bit-exact there), and re-measures 4K throughput.  The round-4
+fidelity rework pays 24 ops/tap (bit-exact C++ f32 index sequence +
+double-rounded weight twin, DESIGN.md "VPU ceiling"); measured 2026-08-19
+at the recalibrated (32,512) tile: **13.07 ms = 634 MP/s at 4K** (vs the
+pre-rework 21-op kernel's ~980 — the fidelity cost, accepted; the
+σc-gated fast path was evaluated and rejected, DESIGN.md).
 
 Run: `python benchmarks/revalidate_abf.py`  (exit 0 = all checks hold).
 """

@@ -1,15 +1,15 @@
 #!/bin/bash
-# Round-4 hardware evidence chain (VERDICT item 1).  Run as ONE command the
-# moment the axon tunnel is up; each stage is a separate python process so
-# only one TPU client exists at a time.  Logs to /tmp/evidence/*.log.
+# Hardware evidence chain.  Run as ONE command the moment the axon tunnel
+# is up; each stage is a separate python process so only one TPU client
+# exists at a time.  Logs to /tmp/evidence/*.log.
 #
-#   bash benchmarks/run_evidence_chain.sh
+#   VIP_ROUND=05 bash benchmarks/run_evidence_chain.sh
 #
 # Order matters: parity/validation first (cheap, catches Mosaic rejections
 # early), the long full matrix afterwards, headline bench last.
 set -u
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
-export VIP_ROUND=04
+export VIP_ROUND="${VIP_ROUND:-05}"
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/evidence
 overall=0

@@ -48,3 +48,29 @@ def test_slic_rejects_unknown_metric():
     from various_image_processings_tpu.models.slic import SuperpixelSLIC
     with pytest.raises(ValueError, match="metric"):
         SuperpixelSLIC(32, 32, 16, metric="manhattan")
+
+
+def test_ciede2000_ref_device_vs_golden():
+    """The all-f32 device variant vs the dtype-exact golden twin: bounded
+    drift from the C++'s incidental double promotions (the golden twin is
+    the oracle-pinned one — tests/test_reference_oracle.py)."""
+    from various_image_processings_tpu.core.ciede2000 import ciede2000_ref_square
+    from various_image_processings_tpu.golden.ciede2000_ref import (
+        ciede2000_ref_square as golden_ref)
+    rng = np.random.default_rng(7)
+    v = rng.integers(-255, 256, (2048, 6)).astype(np.int32)
+    dev = np.asarray(ciede2000_ref_square(v[:, 0], v[:, 1], v[:, 2],
+                                          v[:, 3], v[:, 4], v[:, 5]))
+    gold = golden_ref(v[:, 0], v[:, 1], v[:, 2], v[:, 3], v[:, 4], v[:, 5])
+    np.testing.assert_allclose(dev, gold, rtol=5e-4, atol=5e-2)
+
+
+def test_slic_with_ciede2000_ref_metric():
+    from various_image_processings_tpu.ops.slic import superpixel_slic
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[:20] = (255, 0, 0)
+    img[20:] = (0, 0, 255)
+    labels = superpixel_slic(img, superpixel_size=20, num_iteration=3,
+                             metric="ciede2000_ref")
+    assert labels.shape == (40, 40)
+    assert len(np.unique(labels)) >= 2

@@ -605,3 +605,28 @@ def test_golden_abf_param_fuzz_vs_reference(oracle):
             warnings.simplefilter("ignore")  # 0/0 where the reference does it
             ours = golden.adaptive_bilateral_filter(src, k, ss, sc)
         assert np.abs(ours.astype(int) - ref.astype(int)).max() == 0, (k, ss, sc)
+
+
+def test_golden_ciede2000_ref_vs_reference(oracle):
+    """golden/ciede2000_ref.py vs direct CIE_DeltaE2000_square calls
+    (include/cpp/slic.hpp:15-112).  Signed ints exercise the hue-wrap
+    branches the u8-Lab domain never reaches (b >= 0 keeps atan2 >= 0);
+    the only unpinnable residue is libm-vs-NumPy f32 trig (docstring),
+    bounded here at 2e-5 relative."""
+    rng = np.random.default_rng(20260819)
+    n = 4096
+    vals = rng.integers(-255, 256, (n, 6)).astype(np.int32)
+    # u8-Lab realistic block + edge cases: equal pairs, zero chroma
+    # (b==0 & aPrime==0 -> h=0), single-sided zero chroma (prod==0)
+    vals[: n // 4] = rng.integers(0, 256, (n // 4, 6))
+    vals[0] = (50, 10, -5, 50, 10, -5)
+    vals[1] = (80, 0, 0, 20, 0, 0)
+    vals[2] = (80, 0, 0, 20, 30, -40)
+    vals[3] = (0, 0, 0, 0, 0, 0)
+    ref = oracle("ciede2000_ref", vals, n, 6, n * 4).view(np.float32)
+    ours = golden.ciede2000_ref_square(vals[:, 0], vals[:, 1], vals[:, 2],
+                                       vals[:, 3], vals[:, 4], vals[:, 5])
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-4)
+    # the dtype mirroring makes most results bit-identical (measured 0.79;
+    # the rest differ only through libm-vs-NumPy f32 sin/cos last-ulp)
+    assert (ours == ref).mean() > 0.7

@@ -14,6 +14,8 @@
 //   blur_rtv   in(H*W*3 u8) out(H*W*3 f32 blurred + H*W f32 rtv)  args: ksize
 //   guide      in(H*W*3 f32 blurred + H*W f32 rtv) out(H*W*3 u8)  args: ksize
 //   slic       in(H*W*3 u8) out(H*W i32)    args: S nitr color_scale
+//   ciede2000_ref  in(N*6 i32 Lab sextuplets, H=N W=6) out(N f32) —
+//              direct CIE_DeltaE2000_square calls (the pi-scaled variant)
 //   integral   in(H*W*3 u8) out((H+2r+1)*(W+2r+1)*3 i32)  args: radius
 //   btf        in(H*W*3 u8) out(H*W*3 u8)   args: ksize nitr   (cpp path,
 //              cv::ximgproc::jointBilateralFilter)
@@ -132,6 +134,18 @@ int main(int argc, char** argv) {
         cv::Mat1i label;
         superpixel_slic(image, label, S, nitr, m);
         write_file(out_path, label.data, (size_t)h * w * 4);
+    } else if (op == "ciede2000_ref") {
+        // scalar transcription oracle for the reference's pi-scaled
+        // CIE_DeltaE2000_square (include/cpp/slic.hpp:15-112; its
+        // degree_to_radian multiplies by pi, not pi/180 — :16-18).
+        // in: N*6 i32 Lab sextuplets (h=N, w=6), out: N f32
+        const int32_t* v = (const int32_t*)in.data();
+        std::vector<float> de((size_t)h);
+        for (int i = 0; i < h; i++)
+            de[i] = CIE_DeltaE2000_square(v[i * 6 + 0], v[i * 6 + 1],
+                                          v[i * 6 + 2], v[i * 6 + 3],
+                                          v[i * 6 + 4], v[i * 6 + 5]);
+        write_file(out_path, de.data(), de.size() * 4);
     } else if (op == "integral") {
         const int radius = argc > 6 ? std::atoi(argv[6]) : 4;
         cv::Mat_<cv::Vec3b> src(h, w, (cv::Vec3b*)in.data());

@@ -15,3 +15,4 @@ from .integral_image import BorderReplicatedIntegralImage as BorderReplicatedInt
 from .bilateral_texture import compute_blur_and_rtv as compute_blur_and_rtv
 from .bilateral_texture import compute_guide as compute_guide
 from .bilateral_texture import bilateral_texture_filter as bilateral_texture_filter
+from .ciede2000_ref import ciede2000_ref_square as ciede2000_ref_square

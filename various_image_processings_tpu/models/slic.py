@@ -65,6 +65,9 @@ def _color_dist_fn(metric: str):
     if metric == "ciede2000":
         from ..core.ciede2000 import ciede2000_square
         return ciede2000_square
+    if metric == "ciede2000_ref":  # the reference's π-scaled variant
+        from ..core.ciede2000 import ciede2000_ref_square
+        return ciede2000_ref_square
     raise ValueError(f"unknown SLIC metric {metric!r}")
 
 
@@ -491,11 +494,14 @@ def enforce_connectivity(labels: np.ndarray, lab: np.ndarray,
             db = means[c1, 2] - means[c2, 2]
             return dl * dl + da * da + db * db
     else:
-        from ..core.ciede2000 import ciede2000_square
+        if metric == "ciede2000_ref":
+            from ..golden.ciede2000_ref import ciede2000_ref_square as _de
+        else:
+            from ..core.ciede2000 import ciede2000_square as _de
 
         def color_dist(c1, c2):
-            return float(ciede2000_square(means[c1, 0], means[c1, 1], means[c1, 2],
-                                          means[c2, 0], means[c2, 1], means[c2, 2]))
+            return float(_de(means[c1, 0], means[c1, 1], means[c1, 2],
+                             means[c2, 0], means[c2, 1], means[c2, 2]))
 
     # the neighbor sets are maintained incrementally under merges (root →
     # set of neighbor roots), keeping the whole pass near-linear; a naive
@@ -535,7 +541,7 @@ class SuperpixelSLIC:
                  metric: str = "euclidean"):
         if superpixel_size < 2:
             raise ValueError("superpixel_size must be >= 2")
-        if metric not in ("euclidean", "ciede2000"):
+        if metric not in ("euclidean", "ciede2000", "ciede2000_ref"):
             raise ValueError(f"unknown SLIC metric {metric!r}")
         self.height = height
         self.width = width

@@ -11,8 +11,10 @@ def superpixel_slic(image, superpixel_size: int = 30, num_iteration: int = 10,
                     color_scale: float = 20.0, metric: str = "euclidean"):
     """(H, W, 3) u8 BGR → (H, W) int32 superpixel labels.
 
-    metric: "euclidean" (the reference default, L scaled by 2.55) or
-    "ciede2000" (carried by the reference but never selectable there).
+    metric: "euclidean" (the reference default, L scaled by 2.55),
+    "ciede2000" (correct CIEDE2000 — carried by the reference but never
+    selectable there), or "ciede2000_ref" (the reference's π-scaled
+    variant, twinned for API completeness — core/ciede2000.py).
 
     Unlike the stencil ops there is no ``impl`` parameter: the device stage
     is a pure-XLA k-means program (gathers/segment reductions, nothing a
