@@ -630,3 +630,38 @@ def test_golden_ciede2000_ref_vs_reference(oracle):
     # the dtype mirroring makes most results bit-identical (measured 0.79;
     # the rest differ only through libm-vs-NumPy f32 sin/cos last-ulp)
     assert (ours == ref).mean() > 0.7
+
+
+def test_wexler_known_island_outside_in_vs_reference(oracle):
+    """Round-5 wexler_multi fuzz case 15: an annulus hole around a known
+    island + a detached rect on a lenna crop.  Island-seeded peeling (the
+    pre-fix behavior — inner and outer ring boundaries fill at once)
+    converged to 22.1 dB vs the reference's 25.6; the seed-restricted
+    outside-in ring (_island_known + _boundary_ring(seed=...), matching
+    the reference's outer-contour chain-code order) recovers 24.1.
+    Pinned at the multi-component envelope (ref − 3 dB) plus a floor
+    above the island-seeded failure mode."""
+    cv2 = pytest.importorskip("cv2")
+    lenna = cv2.imread("/root/reference/sample_image/lenna.png")
+    if lenna is None:
+        pytest.skip("lenna unavailable")
+    img = np.ascontiguousarray(lenna[382:446, 447:511])
+    mask = np.zeros((64, 64), np.uint8)
+    yy, xx = np.mgrid[:64, :64]
+    d2 = (yy - 24) ** 2 + (xx - 32) ** 2
+    mask[(d2 <= 11 ** 2) & (d2 > 3 ** 2)] = 255   # annulus, island r=3
+    mask[31:38, 46:50] = 255                       # detached component
+    hole = mask > 0
+
+    def hole_psnr(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2)[hole].mean()
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    from various_image_processings_tpu.ops.inpainting import inpainting_wexler
+    ours = np.asarray(inpainting_wexler(img, mask))
+    assert np.array_equal(ours[~hole], img[~hole])
+    data = np.concatenate([img.reshape(-1), mask.reshape(-1)])
+    ref = oracle("wexler", data, 64, 64, 64 * 64 * 3).reshape(64, 64, 3)
+    p_ours, p_ref = hole_psnr(ours, img), hole_psnr(ref, img)
+    assert p_ours >= p_ref - 3.0, (p_ours, p_ref)
+    assert p_ours >= 23.0, p_ours

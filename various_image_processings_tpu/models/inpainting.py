@@ -33,8 +33,12 @@ Known divergences from the strictly sequential reference, kept deliberately
   reference's Freeman chain-code trace from the first masked pixel.  For a
   simply-connected hole the sets are identical; for multi-component masks
   all components peel simultaneously (the reference does one component's
-  contour per round), and for masks with known islands inside, cavity
-  boundaries fill inward and outward at once.  ``extract_mask_contour`` /
+  contour per round).  Masks with known ISLANDS inside peel outside-in
+  like the reference (the island may not seed the initial rings until the
+  advancing front reaches it — ``_island_known`` / the seed-restricted
+  ``_boundary_ring``; round-5 wexler_multi fuzz found island-seeded
+  annulus fills converge ~4 dB below the reference's outer-contour
+  order).  ``extract_mask_contour`` /
   ``contour_with_priority`` (the trace + priority-queue twins) remain for
   the weight computation and API/test parity;
 - when a ring exceeds the batch capacity, the overflow is deferred to the
@@ -365,9 +369,15 @@ def _ring_targets_search(image_f, p117, remained, ty, tx, tvalid, height,
     return best_e, best_y, best_x
 
 
-def _boundary_ring(rem, height, width):
-    """Hole pixels with a known 8-neighbour (image border counts as known)."""
-    known = jnp.pad(1.0 - rem, 1, constant_values=1.0)
+def _boundary_ring(rem, height, width, seed=None):
+    """Hole pixels with a known 8-neighbour (image border counts as known).
+
+    seed: optional f32 map restricting WHICH known pixels may seed the
+    ring (1 = may seed).  Used by the initial pass to peel outside-in on
+    masks with known islands (see _pass_core); None = every known pixel
+    seeds (the original semantics)."""
+    known = (1.0 - rem) if seed is None else seed
+    known = jnp.pad(known, 1, constant_values=1.0)
     neigh = jnp.zeros((height, width), jnp.float32)
     for dy in range(3):
         for dx in range(3):
@@ -377,9 +387,33 @@ def _boundary_ring(rem, height, width):
     return (rem > 0) & (neigh > 0)
 
 
+def _island_known(hole: "np.ndarray"):
+    """Known pixels NOT 8-connected to the image border (host-side, once
+    per level): the 'known islands' of a cavity mask.  Returns None when
+    there are none (the common case — the restricted-ring machinery in
+    _pass_core is then skipped entirely, keeping simply-connected fills
+    byte-identical to before) or when ALL known pixels are islands (no
+    outside to peel from)."""
+    known = ~hole
+    if known.all() or not known.any():
+        return None
+    try:
+        from scipy import ndimage
+        lbl, _ = ndimage.label(known, structure=np.ones((3, 3), bool))
+    except ImportError:  # scipy-less host: keep the original semantics
+        return None
+    border = np.unique(np.concatenate([lbl[0], lbl[-1], lbl[:, 0],
+                                       lbl[:, -1]]))
+    border = border[border > 0]
+    if border.size == 0:
+        return None
+    island = known & ~np.isin(lbl, border)
+    return island if island.any() else None
+
+
 def _pass_core(img_f, rem_f, weight, height, width,
                initial: bool, cap: int, bbox_size: tuple | None,
-               bbox_origin):
+               bbox_origin, island=None):
     """One exemplar_based_inpainting pass (reference :271-322) as traced
     jax code over f32 state: lax.while_loop peels ≤cap boundary targets per
     iteration.  Returns (filled f32 image, energy f32 — −1.0 on search
@@ -411,8 +445,31 @@ def _pass_core(img_f, rem_f, weight, height, width,
         img_f, p117, rem, energy, fail = carry
         rem_box = jax.lax.dynamic_slice(rem, (by0, bx0), (bh, bw))
         if initial:
-            # onion peel: only boundary pixels have known context to copy
-            ring = _boundary_ring(rem_box, bh, bw)
+            # onion peel: only boundary pixels have known context to copy.
+            # With a known ISLAND inside the hole (island != None), restrict
+            # the seeds to border-connected known pixels plus pixels filled
+            # during THIS pass — the fill then advances outside-in exactly
+            # like the reference's chain-code trace, which walks the hole
+            # component's OUTER contour (include/cpp/wexler_inpainting.hpp
+            # :94-145), instead of spreading the island's few colors
+            # outward (round-5 wexler_multi fuzz case 15: annulus fill
+            # 21.8 dB island-seeded vs the reference's 25.6 outside-in).
+            # Deadlock guard: a hole component enclosed BY an island has no
+            # border-connected seed — fall back to the unrestricted ring so
+            # the while_loop always progresses.
+            if island is None:
+                ring = _boundary_ring(rem_box, bh, bw)
+            else:
+                isl_box = jax.lax.dynamic_slice(island, (by0, bx0),
+                                                (bh, bw))
+                rem0_box = jax.lax.dynamic_slice(rem_f, (by0, bx0),
+                                                 (bh, bw))
+                filled = (rem0_box > 0) & (rem_box == 0)
+                seed = ((rem_box == 0)
+                        & (filled | (isl_box == 0))).astype(jnp.float32)
+                ring_r = _boundary_ring(rem_box, bh, bw, seed=seed)
+                ring = jnp.where(jnp.any(ring_r), ring_r,
+                                 _boundary_ring(rem_box, bh, bw))
         else:
             # energy passes re-fill pixels whose values already exist from
             # the previous pass, so context does not depend on peel order:
@@ -458,12 +515,13 @@ def _pass_core(img_f, rem_f, weight, height, width,
                                               "cap", "bbox_size"))
 def _fill_pass_device(image_u8, remained0, weight, height, width,
                       initial: bool, cap: int = RING_CAP,
-                      bbox_size: tuple | None = None, bbox_origin=(0, 0)):
+                      bbox_size: tuple | None = None, bbox_origin=(0, 0),
+                      island=None):
     """One pass, u8 in/out (see _pass_core)."""
     img_f, energy = _pass_core(image_u8.astype(jnp.float32),
                                remained0.astype(jnp.float32), weight,
                                height, width, initial, cap, bbox_size,
-                               bbox_origin)
+                               bbox_origin, island)
     return jnp.clip(img_f, 0.0, 255.0).astype(jnp.uint8), energy
 
 
@@ -628,7 +686,8 @@ class WexlerInpainting:
         bx0 = min(x0, w - bw)
         return (bh, bw), (by0, bx0)
 
-    def _fill_pass(self, image_dev, hole_dev, weight_dev, bbox, initial: bool):
+    def _fill_pass(self, image_dev, hole_dev, weight_dev, bbox,
+                   initial: bool, island_dev=None):
         """One exemplar_based_inpainting pass (reference :271-322) on
         DEVICE-RESIDENT state.  Returns (filled device image, float energy —
         −1.0 on failure, in which case the caller keeps its current image:
@@ -641,7 +700,8 @@ class WexlerInpainting:
         filled, energy = _fill_pass_device(
             image_dev, hole_dev, weight_dev, h, w, initial,
             bbox_size=bbox_size,
-            bbox_origin=jnp.asarray(bbox_origin, jnp.int32))
+            bbox_origin=jnp.asarray(bbox_origin, jnp.int32),
+            island=island_dev)
         return filled, float(energy)  # scalar sync: the pass is complete
 
     def apply(self, src, mask) -> np.ndarray:
@@ -682,11 +742,15 @@ class WexlerInpainting:
             img_dev = jnp.asarray(srcs[layer])
             hole_dev = jnp.asarray(hole.astype(np.float32))
             weight_dev = jnp.asarray(weight.astype(np.float32))
+            island = _island_known(hole)  # None unless the mask has
+            island_dev = (None if island is None  # known islands (cavities)
+                          else jnp.asarray(island.astype(np.float32)))
 
             if do_initial:
                 filled, energy = self._fill_pass(img_dev, hole_dev,
                                                  weight_dev, bbox,
-                                                 initial=True)
+                                                 initial=True,
+                                                 island_dev=island_dev)
                 if energy < 0:
                     self._log(f"failed to inpaint layer {layer}")
                 else:
@@ -739,7 +803,8 @@ class WexlerInpainting:
                 fresh, _fe = _fill_pass_device(
                     img_dev, hole_dev, weight_dev, *hole.shape, True,
                     bbox_size=bbox[0],
-                    bbox_origin=jnp.asarray(bbox[1], jnp.int32))
+                    bbox_origin=jnp.asarray(bbox[1], jnp.int32),
+                    island=island_dev)
                 cand_states = branches + [fresh]
             results = []
             for b in cand_states:
