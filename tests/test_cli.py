@@ -52,3 +52,20 @@ def test_bilateral_cli_end_to_end(tmp_path):
     main([src_path, "5", "10", "30", "-o", out_path, "--impl", "xla"])
     out = cv2.imread(out_path)
     assert out is not None and out.shape == (24, 24, 3)
+
+
+def test_cli_side_by_side_composite(tmp_path):
+    # headless twin of the reference samples' paired imshow windows:
+    # input | result with a 2-px separator, float outputs normalized
+    cv2 = pytest.importorskip("cv2")
+    from various_image_processings_tpu.cli.gradient import main
+    from various_image_processings_tpu.core.rng import random_image
+    src_path = str(tmp_path / "in.png")
+    out_path = str(tmp_path / "out.png")
+    cv2.imwrite(src_path, random_image(16, 24))
+    main([src_path, "-o", out_path, "--impl", "xla", "--side-by-side"])
+    sbs = cv2.imread(str(tmp_path / "out_sbs.png"))
+    assert sbs is not None and sbs.shape == (16, 24 * 2 + 2, 3)
+    np.testing.assert_array_equal(sbs[:, 24:26], 255)  # separator
+    src = cv2.imread(src_path)
+    np.testing.assert_array_equal(sbs[:, :24], src)    # input pane verbatim
