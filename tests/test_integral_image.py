@@ -45,6 +45,28 @@ def test_golden_integral_u8_exact(radius, channels):
 
 
 @pytest.mark.parametrize("radius", [1, 3])
+def test_golden_integral_u16_exact(radius):
+    # the reference instantiates SrcType=uint16_t too
+    # (test/border_replicated_integral_image.cpp:75-83 — its "3ch" test that
+    # actually runs 2 channels); u16 sources accumulate exactly in int32
+    src = random_array(SIZE * SIZE * 2, 40000, np.uint16
+                       ).reshape(SIZE, SIZE, 2)
+    ii = GoldenII(src, radius)
+    dev = np.asarray(integral_image(src.astype(np.int32), radius))
+    for x0, y0, x1, y1 in all_windows(radius):
+        expected = brute_force_sum(src, x0, y0, x1, y1)
+        np.testing.assert_array_equal(ii.get(x0, y0, x1, y1), expected)
+    assert dev.dtype == np.int32
+    r = radius
+    # 4-corner window sum from the device SAT equals brute force
+    ws = np.asarray(window_sums(src.astype(np.int32), r))
+    for y in range(SIZE):
+        for x in range(SIZE):
+            np.testing.assert_array_equal(
+                ws[y, x], brute_force_sum(src, x - r, y - r, x + r, y + r))
+
+
+@pytest.mark.parametrize("radius", [1, 3])
 def test_golden_integral_f32_relative(radius):
     src = random_array(SIZE * SIZE * 3, 255.0, np.float32).reshape(SIZE, SIZE, 3)
     ii = GoldenII(src, radius)
