@@ -26,6 +26,7 @@
 //   wexler_contour  in(H*W*3 u8 src + H*W u8 mask)
 //              out(N*3 i32: x, y, priority in pop order) — N = contour length
 
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -81,7 +82,10 @@ int main(int argc, char** argv) {
     const int h = std::atoi(argv[3]);
     const int w = std::atoi(argv[4]);
     const char* out_path = argv[5];
-    cv::setNumThreads(1);  // deterministic f32 sums (test/gradient.cu:39 does the same)
+    // deterministic f32 sums for parity ops (test/gradient.cu:39 does the
+    // same); the bench op keeps OpenCV's real cv::parallel_for_ threading —
+    // a timing comparison must give the reference its full parallelism
+    if (op != "bench") cv::setNumThreads(1);
 
     if (op == "bilateral" || op == "abf") {
         const int ksize = argc > 6 ? std::atoi(argv[6]) : 9;
@@ -126,6 +130,61 @@ int main(int argc, char** argv) {
         cv::Mat3b dst;
         internal::compute_guide(blurred, rtv, dst, ksize);
         write_file(out_path, dst.data, (size_t)h * w * 3);
+    } else if (op == "bench") {
+        // Head-to-head timing mode (benchmarks/ref_headtohead.py): run ONE
+        // reference cpp algorithm n_iter+1 times on the input image, first
+        // run discarded as warmup — the same semantics as the reference's
+        // MEASURE macro (sample/benchmark/main.cpp:20-33; timing loop
+        // written fresh here, not transcribed).  Writes the mean msec as
+        // ASCII to out.  argv: bench in H W out <algo> <n_iter> [params...]
+        const std::string algo = argc > 6 ? argv[6] : "";
+        const int n = argc > 7 ? std::atoi(argv[7]) : 10;
+        cv::Mat3b src(h, w, (cv::Vec3b*)in.data());
+        const auto time_op = [&](auto&& fn) {
+            fn();  // warmup
+            const auto t0 = std::chrono::steady_clock::now();
+            for (int i = 0; i < n; ++i) fn();
+            const auto t1 = std::chrono::steady_clock::now();
+            return std::chrono::duration<double, std::milli>(t1 - t0).count()
+                   / std::max(n, 1);
+        };
+        double ms = -1.0;
+        if (algo == "gradient") {
+            cv::Mat dst;
+            ms = time_op([&] { gradient(src, dst); });
+        } else if (algo == "bilateral" || algo == "abf") {
+            const int k = argc > 8 ? std::atoi(argv[8]) : 9;
+            const float ss = argc > 9 ? std::atof(argv[9]) : 10.f;
+            const float sc = argc > 10 ? std::atof(argv[10]) : 30.f;
+            cv::Mat3b dst;
+            if (algo == "bilateral")
+                ms = time_op([&] { bilateral_filter(src, dst, k, ss, sc); });
+            else
+                ms = time_op([&] { adaptive_bilateral_filter(src, dst, k, ss, sc); });
+        } else if (algo == "btf") {
+            const int k = argc > 8 ? std::atoi(argv[8]) : 9;
+            const int nitr = argc > 9 ? std::atoi(argv[9]) : 3;
+            cv::Mat3b dst;
+            ms = time_op([&] { bilateral_texture_filter(src, dst, k, nitr); });
+        } else if (algo == "slic") {
+            const int S = argc > 8 ? std::atoi(argv[8]) : 10;
+            const int nitr = argc > 9 ? std::atoi(argv[9]) : 10;
+            const float m = argc > 10 ? std::atof(argv[10]) : 20.f;
+            cv::Mat1i label;
+            ms = time_op([&] { superpixel_slic(src, label, S, nitr, m); });
+        } else if (algo == "wexler") {
+            // not in the reference's benchmark list (no CUDA version);
+            // timed as an extra.  mask rides after the image like op=wexler
+            cv::Mat1b mask(h, w, (uint8_t*)(in.data() + (size_t)h * w * 3));
+            cv::Mat3b dst;
+            ms = time_op([&] { inpainting_wexler(src, mask, dst); });
+        } else {
+            std::fprintf(stderr, "unknown bench algo %s\n", algo.c_str());
+            return 1;
+        }
+        char buf[64];
+        std::snprintf(buf, sizeof buf, "%.6f", ms);
+        write_file(out_path, buf, std::strlen(buf));
     } else if (op == "slic") {
         const int S = argc > 6 ? std::atoi(argv[6]) : 30;
         const int nitr = argc > 7 ? std::atoi(argv[7]) : 10;
